@@ -1,0 +1,215 @@
+"""Incoherence processing: PRNG-keyed random orthogonal butterfly transforms.
+
+Capability parity with the reference butterfly machinery
+(/root/reference/method.py:16-78), TPU-first:
+
+  * Transforms are *keyed*, not stored: a checkpoint only needs the PRNG key
+    (plus n and the mode) to regenerate U and V exactly — the reference
+    instead materializes dense U/V and keeps them on the CPU
+    (method.py:162-169, 177-178).
+  * Application is the O(n (p + q)) structured product via reshape/transpose
+    + batched matmul on the MXU (method.py:46-67), never a dense n² matmul,
+    unless explicitly materialized for tests.
+  * Random SO(p) blocks come from QR of a Gaussian with sign fixing
+    (Haar-distributed), replacing scipy.stats.special_ortho_group
+    (method.py:20-31); p = 2 uses the direct rotation-matrix fast path.
+
+Modes match ``preproc_proj_extra`` (method.py:125-135):
+  'block'     — per-block random SO(p) + random permutations      (extra=0)
+  'noblock'   — one shared SO(p) per factor + permutations        (extra=1, default)
+  'nopermute' — per-block SO(p), identity permutations            (extra=2)
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def prime_factors(n: int) -> list[int]:
+    """Prime factorization by trial division (replaces the primefac dep)."""
+    fs = []
+    x = n
+    p = 2
+    while p * p <= x:
+        while x % p == 0:
+            fs.append(p)
+            x //= p
+        p += 1 if p == 2 else 2
+    if x > 1:
+        fs.append(x)
+    return fs
+
+
+def butterfly_factors(n: int) -> Tuple[int, int]:
+    """Split n = p * q by alternating prime factors (method.py:16-18)."""
+    pf = prime_factors(n)
+    return (math.prod(pf[0::2]), math.prod(pf[1::2]))
+
+
+class Butterfly(NamedTuple):
+    """A random orthogonal butterfly operator of dimension n.
+
+    blocks[i] has shape (n_blocks_i, p_i, p_i) with n_blocks_i in {1, n//p_i}
+    (1 for 'noblock' mode, broadcast over blocks).
+    perm_in/perm_out are permutation index vectors of length n (or None for
+    'nopermute').
+    """
+
+    blocks: Tuple[jax.Array, ...]
+    perm_in: jax.Array | None
+    perm_out: jax.Array | None
+    n: int
+
+    @property
+    def factors(self) -> Tuple[int, ...]:
+        return tuple(b.shape[-1] for b in self.blocks)
+
+
+def random_orthogonal(key: jax.Array, p: int, size: int,
+                      dtype=jnp.float32) -> jax.Array:
+    """(size, p, p) Haar-random special-orthogonal matrices.
+
+    p == 2 fast path: rotation by U[0, 2π) (method.py:23-31). General p: QR
+    of a Gaussian with R-diagonal sign correction gives Haar on O(p); a
+    column flip makes det = +1 (SO(p)), matching special_ortho_group.
+    """
+    if p == 2:
+        t = jax.random.uniform(key, (size,), dtype=dtype) * (2 * math.pi)
+        c, s = jnp.cos(t), jnp.sin(t)
+        return jnp.stack(
+            [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2
+        )
+    g = jax.random.normal(key, (size, p, p), dtype=dtype)
+    q, r = jnp.linalg.qr(g)
+    sign = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    q = q * sign[:, None, :]
+    det = jnp.linalg.det(q)
+    # flip the last column where det < 0 so det = +1
+    flip = jnp.where(det < 0, -1.0, 1.0)
+    return q.at[:, :, -1].multiply(flip[:, None])
+
+
+def gen_butterfly(key: jax.Array, n: int, mode: str = "noblock",
+                  dtype=jnp.float32) -> Butterfly:
+    """Generate a keyed random orthogonal butterfly of dimension n
+    (method.py:33-43)."""
+    if mode not in ("block", "noblock", "nopermute"):
+        raise ValueError(f"unknown butterfly mode: {mode}")
+    facs = butterfly_factors(n)
+    facs = tuple(f for f in facs if f > 1) or (1,)
+    keys = jax.random.split(key, len(facs) + 2)
+    blocks = []
+    for i, p in enumerate(facs):
+        size = 1 if mode == "noblock" else n // p
+        blocks.append(random_orthogonal(keys[i], p, size, dtype))
+    if mode == "nopermute":
+        perm_in = perm_out = None
+    else:
+        perm_in = jax.random.permutation(keys[-2], n)
+        perm_out = jax.random.permutation(keys[-1], n)
+    return Butterfly(tuple(blocks), perm_in, perm_out, n)
+
+
+def _apply_factor(x: jax.Array, Bi: jax.Array, mpfx: int, p: int,
+                  msfx: int, transpose: bool) -> jax.Array:
+    """Apply one butterfly stage to the leading axis of (n, q) x
+    (method.py:57-63)."""
+    n, q = x.shape
+    x = x.reshape(mpfx, p, msfx, q).transpose(0, 2, 1, 3)
+    x = x.reshape(mpfx * msfx, p, q)
+    B = jnp.swapaxes(Bi, -1, -2) if transpose else Bi
+    if B.shape[0] == 1:
+        x = jnp.einsum("ab,nbq->naq", B[0], x)
+    else:
+        x = jnp.einsum("nab,nbq->naq", B, x)
+    x = x.reshape(mpfx, msfx, p, q).transpose(0, 2, 1, 3)
+    return x.reshape(n, q)
+
+
+def apply_butterfly(bf: Butterfly, x: jax.Array, axis: int = 0,
+                    transpose: bool = False) -> jax.Array:
+    """y = B @ x along ``axis`` (or Bᵀ @ x when transpose=True — the exact
+    inverse, since B is orthogonal).
+
+    Matches mul_ortho_butterfly (method.py:46-67): x -> P_out B_k ... B_0 P_in x.
+    """
+    orig_shape = x.shape
+    x = jnp.moveaxis(x, axis, 0)
+    lead = x.shape[0]
+    assert lead == bf.n, f"butterfly dim {bf.n} != axis size {lead}"
+    tail_shape = x.shape[1:]
+    x = x.reshape(lead, -1)
+
+    facs = bf.factors
+    sizes = []
+    for i in range(len(facs)):
+        mpfx = math.prod(facs[:i])
+        msfx = math.prod(facs[i + 1:])
+        sizes.append((mpfx, facs[i], msfx))
+
+    if not transpose:
+        if bf.perm_in is not None:
+            x = x[bf.perm_in, :]
+        for Bi, (mpfx, p, msfx) in zip(bf.blocks, sizes):
+            x = _apply_factor(x, Bi, mpfx, p, msfx, transpose=False)
+        if bf.perm_out is not None:
+            x = x[bf.perm_out, :]
+    else:
+        # (P_out B_k .. B_0 P_in)^T = P_in^T B_0^T .. B_k^T P_out^T
+        if bf.perm_out is not None:
+            x = _inv_permute(x, bf.perm_out)
+        for Bi, (mpfx, p, msfx) in zip(reversed(bf.blocks), reversed(sizes)):
+            x = _apply_factor(x, Bi, mpfx, p, msfx, transpose=True)
+        if bf.perm_in is not None:
+            x = _inv_permute(x, bf.perm_in)
+
+    x = x.reshape((lead,) + tail_shape)
+    x = jnp.moveaxis(x, 0, axis)
+    return x.reshape(orig_shape)
+
+
+def _inv_permute(x: jax.Array, perm: jax.Array) -> jax.Array:
+    """Apply the inverse of x -> x[perm] (i.e. scatter rows back)."""
+    return jnp.zeros_like(x).at[perm, :].set(x)
+
+
+def materialize(bf: Butterfly, dtype=jnp.float32) -> jax.Array:
+    """Dense n x n matrix (method.py:71-78) — for tests / small dims."""
+    return apply_butterfly(bf, jnp.eye(bf.n, dtype=dtype), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Two-sided weight/Hessian rotations used by incoherence preprocessing
+# (method.py:175-176: w -> U w Vᵀ,  H -> V H Vᵀ)
+# ---------------------------------------------------------------------------
+
+
+def rotate_weight(u: Butterfly, v: Butterfly, w: jax.Array) -> jax.Array:
+    """w -> U w Vᵀ without materializing U or V.
+
+    (Applying a butterfly along axis=1 computes w @ Bᵀ.)
+    """
+    w = apply_butterfly(u, w, axis=0)              # U w
+    return apply_butterfly(v, w, axis=1)           # (U w) Vᵀ
+
+
+def rotate_hessian(v: Butterfly, H: jax.Array) -> jax.Array:
+    """H -> V H Vᵀ."""
+    H = apply_butterfly(v, H, axis=0)              # V H
+    return apply_butterfly(v, H, axis=1)           # (V H) Vᵀ
+
+
+def unrotate_weight(u: Butterfly, v: Butterfly, w: jax.Array) -> jax.Array:
+    """w -> Uᵀ w V (exact inverse of rotate_weight; method.py:202)."""
+    w = apply_butterfly(u, w, axis=0, transpose=True)   # Uᵀ w
+    return apply_butterfly(v, w, axis=1, transpose=True)
+
+
+def unrotate_hessian(v: Butterfly, H: jax.Array) -> jax.Array:
+    """H -> Vᵀ H V (method.py:203)."""
+    H = apply_butterfly(v, H, axis=0, transpose=True)
+    return apply_butterfly(v, H, axis=1, transpose=True)
