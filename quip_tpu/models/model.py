@@ -1,0 +1,477 @@
+"""Functional decoder-LM implementation for OPT / Llama / BLOOM.
+
+One pure-JAX transformer covers the three model families the reference drives
+through separate torch scripts (opt.py, llama.py, zeroShot/models/bloom.py).
+
+Design (TPU-first):
+  * Parameters are a plain pytree; per-layer params are stacked on a leading
+    n_layers axis so the forward pass is a single ``lax.scan`` over one
+    compiled block (weight-stationary, XLA-friendly) and the calibration
+    driver can slice layer i with a tree-map.
+  * Every linear is y = x @ W (+ b) with W stored (in, out): H = E[x xᵀ] is
+    accumulated over the *fan-in* axis, matching the reference convention
+    (method.py:94 columns = fan-in).
+  * ``block_apply(..., with_taps=True)`` returns the inputs of each linear —
+    the functional replacement for the reference's forward hooks
+    (opt.py:131-145).
+  * KV-cache decode path for serving.
+
+Family specifics: learned positions w/ offset 2 + ReLU MLP (OPT), RoPE +
+RMSNorm + SwiGLU + GQA (Llama-2), ALiBi + embedding LayerNorm + GELU (BLOOM).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quip_tpu.models.config import ModelConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Norms / activations
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mu) * lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def rms_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    y = x * lax.rsqrt(var + eps).astype(x.dtype)
+    return y * p["scale"]
+
+
+def norm(p: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    if cfg.norm == "rms":
+        return rms_norm(p, x, cfg.norm_eps)
+    return layer_norm(p, x, cfg.norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Positional schemes
+# ---------------------------------------------------------------------------
+
+
+def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for RoPE at given integer positions (…, hd/2)."""
+    hd = cfg.hd
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    ang = positions[..., None].astype(jnp.float32) * inv_freq  # (..., hd/2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF-style rotate-half RoPE. x: (..., seq, heads, hd)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[..., None, :]      # broadcast over heads axis
+    s = sin[..., None, :]
+    return jnp.concatenate(
+        [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
+    ).astype(x.dtype)
+
+
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """BLOOM ALiBi head slopes (zeroShot/models/bloom.py alibi plumbing)."""
+    def slopes_power_of_2(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        s = slopes_power_of_2(n_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(n_heads))
+        s = slopes_power_of_2(closest)
+        extra = slopes_power_of_2(2 * closest)[0::2][: n_heads - closest]
+        s = s + extra
+    return jnp.asarray(s, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jax.Array        # (batch, max_len, kv_heads, hd)
+    v: jax.Array
+    length: jax.Array   # scalar int32: number of valid positions
+
+    @staticmethod
+    def init(batch: int, max_len: int, cfg: ModelConfig, dtype) -> "KVCache":
+        shape = (batch, max_len, cfg.kv_heads, cfg.hd)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((), jnp.int32))
+
+
+def attention(
+    p: Params,
+    x: jax.Array,                    # (B, S, D)
+    cfg: ModelConfig,
+    positions: jax.Array,            # (B, S) int32 absolute positions
+    mask: jax.Array,                 # (B, S, L) True = attend
+    cache: Optional[KVCache] = None,
+    taps: Optional[dict] = None,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    B, S, D = x.shape
+    H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+
+    if taps is not None:
+        taps["attn_in"] = x
+    q = x @ p["wq"] + p.get("bq", 0.0)
+    k = x @ p["wk"] + p.get("bk", 0.0)
+    v = x @ p["wv"] + p.get("bv", 0.0)
+    q = q.reshape(B, S, H, hd)
+    k = k.reshape(B, S, KV, hd)
+    v = v.reshape(B, S, KV, hd)
+
+    if cfg.positions == "rope":
+        cos, sin = rope_tables(cfg, positions)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        start = cache.length
+        zero = jnp.zeros((), start.dtype)
+        knew = lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
+                                        (zero, start, zero, zero))
+        vnew = lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
+                                        (zero, start, zero, zero))
+        cache = KVCache(knew, vnew, cache.length + S)
+        k_all, v_all = knew, vnew
+        L = k_all.shape[1]
+    else:
+        k_all, v_all = k, v
+        L = S
+
+    if KV != H:
+        rep = H // KV
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum("bshd,blhd->bhsl", q, k_all) * scale
+
+    if cfg.positions == "alibi":
+        slopes = alibi_slopes(H).astype(logits.dtype)     # (H,)
+        # bias_{s,l} = -m_h * (pos_s - l) for l <= pos_s (distance)
+        key_pos = jnp.arange(L)[None, None, :]            # (1, 1, L)
+        qpos = positions[:, None, :, None].astype(logits.dtype)  # (B,1,S,1)
+        dist = qpos - key_pos[:, :, None, :].astype(logits.dtype)
+        logits = logits - slopes[None, :, None, None] * dist
+
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    logits = jnp.where(mask[:, None, :, :], logits, neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhsl,blhd->bshd", probs, v_all).reshape(B, S, H * hd)
+
+    if taps is not None:
+        taps["o_in"] = out
+    out = out @ p["wo"] + p.get("bo", 0.0)
+    return out, cache
+
+
+# ---------------------------------------------------------------------------
+# MLP
+# ---------------------------------------------------------------------------
+
+
+def mlp(p: Params, x: jax.Array, cfg: ModelConfig,
+        taps: Optional[dict] = None) -> jax.Array:
+    if taps is not None:
+        taps["mlp_in"] = x
+    if cfg.act == "silu_glu":
+        g = x @ p["wg"]
+        u = x @ p["wu"]
+        h = jax.nn.silu(g) * u
+        if taps is not None:
+            taps["down_in"] = h
+        return h @ p["wd"]
+    h = x @ p["w1"] + p.get("b1", 0.0)
+    if cfg.act == "relu":
+        h = jax.nn.relu(h)
+    elif cfg.act == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    if taps is not None:
+        taps["down_in"] = h
+    return h @ p["w2"] + p.get("b2", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Transformer block
+# ---------------------------------------------------------------------------
+
+
+def block_apply(
+    p: Params,
+    x: jax.Array,
+    cfg: ModelConfig,
+    positions: jax.Array,
+    mask: jax.Array,
+    cache: Optional[KVCache] = None,
+    with_taps: bool = False,
+):
+    """One decoder block. Returns (y, cache, taps|None).
+
+    Pre-LN ordering (all three families; OPT-350m sets
+    do_layer_norm_before=False, applying LN after the residual —
+    HF OPTDecoderLayer behavior).
+    """
+    taps: Optional[dict] = {} if with_taps else None
+
+    res = x
+    h = norm(p["ln1"], x, cfg) if cfg.do_layer_norm_before else x
+    a, cache = attention(p["attn"], h, cfg, positions, mask, cache, taps)
+    x = res + a
+    if not cfg.do_layer_norm_before:
+        x = norm(p["ln1"], x, cfg)
+
+    res = x
+    h = norm(p["ln2"], x, cfg) if cfg.do_layer_norm_before else x
+    m = mlp(p["mlp"], h, cfg, taps)
+    x = res + m
+    if not cfg.do_layer_norm_before:
+        x = norm(p["ln2"], x, cfg)
+
+    return x, cache, taps
+
+
+# ---------------------------------------------------------------------------
+# Embedding / head
+# ---------------------------------------------------------------------------
+
+
+def embed(params: Params, tokens: jax.Array, cfg: ModelConfig,
+          positions: jax.Array) -> jax.Array:
+    e = params["embed"]
+    x = e["tokens"][tokens]
+    if cfg.embed_proj_dim is not None:
+        x = x @ e["proj_in"]
+    if cfg.positions == "learned":
+        # OPT quirk: learned position table has a 2-row offset
+        x = x + e["positions"][positions + 2]
+    if cfg.embed_layer_norm:
+        x = layer_norm(e["ln"], x, cfg.norm_eps)
+    return x
+
+
+def unembed(params: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    if params.get("final_ln") is not None:
+        x = norm(params["final_ln"], x, cfg)
+    e = params["embed"]
+    if cfg.embed_proj_dim is not None:
+        x = x @ e["proj_out"]
+    if cfg.tie_word_embeddings:
+        return x @ e["tokens"].T
+    return x @ params["lm_head"]
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+
+def causal_mask(B: int, S: int, dtype=bool) -> jax.Array:
+    m = jnp.tril(jnp.ones((S, S), bool))
+    return jnp.broadcast_to(m, (B, S, S))
+
+
+def forward(params: Params, tokens: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Full-sequence forward -> logits (B, S, V). Blocks run under lax.scan
+    over the stacked layer axis."""
+    B, S = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    mask = causal_mask(B, S)
+    x = embed(params, tokens, cfg, positions)
+
+    def body(x, layer_params):
+        y, _, _ = block_apply(layer_params, x, cfg, positions, mask)
+        return y, None
+
+    x, _ = lax.scan(body, x, params["blocks"])
+    return unembed(params, x, cfg)
+
+
+def decode_step(
+    params: Params,
+    tokens: jax.Array,              # (B, 1)
+    caches,                          # list-like pytree of per-layer KVCache
+    cfg: ModelConfig,
+):
+    """Single-token decode with per-layer KV caches (stacked pytree).
+
+    caches: KVCache with leaves stacked over layers (n_layers leading axis).
+    Returns (logits (B, V), new caches).
+    """
+    B = tokens.shape[0]
+    length = caches.length[0]                # same for all layers
+    positions = jnp.broadcast_to(length, (B, 1)).astype(jnp.int32)
+    L = caches.k.shape[2]
+    key_pos = jnp.arange(L)[None, None, :]
+    mask = key_pos <= positions[:, :, None]  # (B, 1, L)
+    x = embed(params, tokens, cfg, positions)
+
+    def body(x, layer):
+        layer_params, cache = layer
+        y, cache, _ = block_apply(layer_params, x, cfg, positions, mask,
+                                  cache)
+        return y, cache
+
+    x, new_caches = lax.scan(body, x, (params["blocks"], caches))
+    logits = unembed(params, x, cfg)
+    return logits[:, -1, :], new_caches
+
+
+def init_caches(batch: int, max_len: int, cfg: ModelConfig,
+                dtype=jnp.float32) -> KVCache:
+    """Stacked (n_layers-leading) KV caches for decode."""
+    shape = (cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.hd)
+    return KVCache(
+        jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        jnp.zeros((cfg.n_layers,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, fan_in, fan_out, dtype, bias=True):
+    w = jax.random.normal(key, (fan_in, fan_out), dtype) * (fan_in ** -0.5)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((fan_out,), dtype)
+    return p
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Random init (for tests/benchmarks; real weights come from
+    models/hf_import.py)."""
+    dtype = jnp.dtype(cfg.dtype)
+    D, F, V = cfg.d_model, cfg.d_ff, cfg.vocab_size
+    H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    keys = jax.random.split(key, 16)
+
+    def ln_p():
+        p = {"scale": jnp.ones((D,), dtype)}
+        if cfg.norm == "ln":
+            p["bias"] = jnp.zeros((D,), dtype)
+        return p
+
+    E = cfg.embed_proj_dim or D
+    embed_p: Params = {
+        "tokens": jax.random.normal(keys[0], (V, E), dtype) * 0.02,
+    }
+    if cfg.positions == "learned":
+        embed_p["positions"] = (
+            jax.random.normal(keys[1], (cfg.max_seq + 2, D), dtype) * 0.02
+        )
+    if cfg.embed_proj_dim is not None:
+        embed_p["proj_in"] = jax.random.normal(keys[2], (E, D), dtype) * 0.02
+        embed_p["proj_out"] = jax.random.normal(keys[3], (D, E), dtype) * 0.02
+    if cfg.embed_layer_norm:
+        embed_p["ln"] = ln_p()
+
+    def block_p(k):
+        ks = jax.random.split(k, 8)
+        attn = {
+            "wq": _linear(ks[0], D, H * hd, dtype, cfg.attn_bias),
+            "wk": _linear(ks[1], D, KV * hd, dtype, cfg.attn_bias),
+            "wv": _linear(ks[2], D, KV * hd, dtype, cfg.attn_bias),
+            "wo": _linear(ks[3], H * hd, D, dtype, cfg.attn_bias),
+        }
+        ap = {}
+        for nm, sub in attn.items():
+            ap[nm] = sub["w"]
+            if cfg.attn_bias:
+                ap["b" + nm[1:]] = sub["b"]
+        if cfg.act == "silu_glu":
+            mp = {
+                "wg": _linear(ks[4], D, F, dtype, False)["w"],
+                "wu": _linear(ks[5], D, F, dtype, False)["w"],
+                "wd": _linear(ks[6], F, D, dtype, False)["w"],
+            }
+        else:
+            l1 = _linear(ks[4], D, F, dtype, cfg.mlp_bias)
+            l2 = _linear(ks[5], F, D, dtype, cfg.mlp_bias)
+            mp = {"w1": l1["w"], "w2": l2["w"]}
+            if cfg.mlp_bias:
+                mp["b1"], mp["b2"] = l1["b"], l2["b"]
+        return {"ln1": ln_p(), "ln2": ln_p(), "attn": ap, "mlp": mp}
+
+    bkeys = jax.random.split(keys[4], cfg.n_layers)
+    blocks = [block_p(k) for k in bkeys]
+    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    params: Params = {"embed": embed_p, "blocks": blocks}
+    # OPT-350m (do_layer_norm_before=False) has no final LN
+    params["final_ln"] = ln_p() if cfg.do_layer_norm_before else None
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jax.random.normal(keys[5], (D, V), dtype) * 0.02
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Linear-layer registry for quantization
+# ---------------------------------------------------------------------------
+
+
+class LinearSpec(NamedTuple):
+    """One quantizable linear inside a block.
+
+    name: HF-compatible dotted name (parity with reference find_layers keys,
+    modelutils.py:7-16). path: key path inside the block params dict.
+    tap: which recorded activation feeds it (its Hessian source).
+    """
+
+    name: str
+    path: Tuple[str, ...]
+    tap: str
+
+
+def linear_specs(cfg: ModelConfig) -> list[LinearSpec]:
+    if cfg.family == "opt":
+        return [
+            LinearSpec("self_attn.q_proj", ("attn", "wq"), "attn_in"),
+            LinearSpec("self_attn.k_proj", ("attn", "wk"), "attn_in"),
+            LinearSpec("self_attn.v_proj", ("attn", "wv"), "attn_in"),
+            LinearSpec("self_attn.out_proj", ("attn", "wo"), "o_in"),
+            LinearSpec("fc1", ("mlp", "w1"), "mlp_in"),
+            LinearSpec("fc2", ("mlp", "w2"), "down_in"),
+        ]
+    if cfg.family == "llama":
+        return [
+            LinearSpec("self_attn.q_proj", ("attn", "wq"), "attn_in"),
+            LinearSpec("self_attn.k_proj", ("attn", "wk"), "attn_in"),
+            LinearSpec("self_attn.v_proj", ("attn", "wv"), "attn_in"),
+            LinearSpec("self_attn.o_proj", ("attn", "wo"), "o_in"),
+            LinearSpec("mlp.gate_proj", ("mlp", "wg"), "mlp_in"),
+            LinearSpec("mlp.up_proj", ("mlp", "wu"), "mlp_in"),
+            LinearSpec("mlp.down_proj", ("mlp", "wd"), "down_in"),
+        ]
+    if cfg.family == "bloom":
+        return [
+            LinearSpec("self_attention.query_key_value.q", ("attn", "wq"),
+                       "attn_in"),
+            LinearSpec("self_attention.query_key_value.k", ("attn", "wk"),
+                       "attn_in"),
+            LinearSpec("self_attention.query_key_value.v", ("attn", "wv"),
+                       "attn_in"),
+            LinearSpec("self_attention.dense", ("attn", "wo"), "o_in"),
+            LinearSpec("mlp.dense_h_to_4h", ("mlp", "w1"), "mlp_in"),
+            LinearSpec("mlp.dense_4h_to_h", ("mlp", "w2"), "down_in"),
+        ]
+    raise ValueError(cfg.family)

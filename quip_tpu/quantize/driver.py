@@ -1,0 +1,233 @@
+"""Layer-streaming calibration + quantization driver.
+
+Capability parity with the reference sequential drivers
+(opt_sequential /root/reference/opt.py:29-190, llama_sequential
+llama.py:36-171, bloom_sequential zeroShot/models/bloom.py:321-429),
+TPU-first:
+
+  * No forward hooks or Catcher exceptions: ``block_apply(with_taps=True)``
+    returns each linear's input functionally; the per-block Hessian
+    accumulation is one jitted scan over calibration samples.
+  * Hessians are shared per tap point (q/k/v read the same activations —
+    the reference computes the identical H three times, opt.py:131-145).
+  * Per-block flow matches opt.py:94-181: accumulate H -> quantize each
+    linear -> replay the block with *quantized* weights to produce the next
+    block's inputs.
+  * The whole per-block program is jitted once and reused across layers
+    (same shapes), so layer-streaming costs one compile.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quip_tpu.models import model as M
+from quip_tpu.models.config import ModelConfig
+from quip_tpu.quantize.config import QuantConfig
+from quip_tpu.quantize.pipeline import LayerQuantResult, quantize_layer
+
+
+@dataclass
+class QuantizedModelArtifacts:
+    """Per-layer metadata produced by the driver (the analog of the
+    reference's ``quantizers`` dict + errors/Hmags/times lists,
+    opt.py:92-93, 164-170)."""
+
+    results: Dict[str, LayerQuantResult] = field(default_factory=dict)
+    errors: Dict[str, float] = field(default_factory=dict)
+    Hmags: Dict[str, float] = field(default_factory=dict)
+    times: Dict[str, float] = field(default_factory=dict)
+    hessians: Dict[str, jax.Array] = field(default_factory=dict)
+
+    @property
+    def total_error(self) -> float:
+        return float(sum(self.errors.values()))
+
+
+def _block_inputs(params, cfg: ModelConfig, tokens: jax.Array,
+                  chunk: int = 8) -> jax.Array:
+    """Block-0 inputs for all calibration samples — the functional version of
+    the Catcher trick (opt.py:55-73). tokens: (N, S)."""
+    N, S = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(S), (1, S))
+
+    @jax.jit
+    def emb(tk):
+        pos = jnp.broadcast_to(jnp.arange(S), tk.shape)
+        return M.embed(params, tk, cfg, pos)
+
+    outs = []
+    for i in range(0, N, chunk):
+        outs.append(emb(tokens[i:i + chunk]))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _make_block_fns(cfg: ModelConfig, seqlen: int, chunk: int):
+    """Jitted per-block programs, compiled once and reused for every layer."""
+    positions = jnp.broadcast_to(jnp.arange(seqlen), (chunk, seqlen))
+    mask = M.causal_mask(chunk, seqlen)
+
+    @jax.jit
+    def accumulate(layer_params, inps, H_init):
+        """Run the block over a chunk of samples; return outputs and
+        accumulated (unnormalized) Hessians per tap: H += Σ xᵀx."""
+        y, _, taps = M.block_apply(layer_params, inps, cfg, positions, mask,
+                                   with_taps=True)
+        H_new = {}
+        for name, x in taps.items():
+            xt = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+            H_new[name] = H_init[name] + xt.T @ xt
+        return y, H_new
+
+    @jax.jit
+    def replay(layer_params, inps):
+        y, _, _ = M.block_apply(layer_params, inps, cfg, positions, mask)
+        return y
+
+    return accumulate, replay
+
+
+def quantize_model(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    calib_tokens: jax.Array,            # (nsamples, seqlen) int32
+    qcfg: QuantConfig,
+    key: jax.Array,
+    *,
+    chunk: int = 4,
+    keep_hessians: bool = False,
+    layer_filter: Optional[List[str]] = None,
+    progress: bool = False,
+) -> tuple[Dict[str, Any], QuantizedModelArtifacts]:
+    """Quantize every linear in every block, layer-streaming.
+
+    Returns (new params, artifacts). ``layer_filter``: optional list of
+    linear names to quantize (the proxy-eval tool quantizes subsets,
+    opt_proxy.py:227-236).
+    """
+    if qcfg.wbits >= 16:
+        return params, QuantizedModelArtifacts()
+
+    N, S = calib_tokens.shape
+    assert N % chunk == 0, f"nsamples {N} must be divisible by chunk {chunk}"
+    specs = M.linear_specs(cfg)
+    art = QuantizedModelArtifacts()
+
+    inps = _block_inputs(params, cfg, calib_tokens, chunk)
+    accumulate, replay = _make_block_fns(cfg, S, chunk)
+
+    blocks = params["blocks"]
+    new_block_list = []
+    n_layers = cfg.n_layers
+
+    for li in range(n_layers):
+        layer_params = jax.tree.map(lambda x: x[li], blocks)
+        t0 = time.time()
+
+        # --- pass 1: accumulate tap Hessians (opt.py:131-148) ---
+        d_taps = {}
+        probe_y, _, probe_taps = M.block_apply(
+            layer_params, inps[:chunk], cfg,
+            jnp.broadcast_to(jnp.arange(S), (chunk, S)),
+            M.causal_mask(chunk, S), with_taps=True)
+        for name, x in probe_taps.items():
+            d_taps[name] = x.shape[-1]
+        H = {name: jnp.zeros((d, d), jnp.float32)
+             for name, d in d_taps.items()}
+        for i in range(0, N, chunk):
+            _, H = accumulate(layer_params, inps[i:i + chunk], H)
+        # normalize: reference divides by nsamples (sequences)
+        # (method.py:122-123)
+        H = {k: v / N for k, v in H.items()}
+
+        # --- quantize each linear (opt.py:150-170) ---
+        new_layer = layer_params
+        for spec in specs:
+            full_name = f"layers.{li}.{spec.name}"
+            if layer_filter is not None and spec.name not in layer_filter:
+                continue
+            Wm = new_layer
+            for k in spec.path:
+                Wm = Wm[k]
+            # model stores (in, out); solver wants (m=out, d=in)
+            Wt = Wm.T
+            lkey = jax.random.fold_in(key, hash(full_name) % (2**31))
+            res = quantize_layer(Wt, H[spec.tap], qcfg, lkey)
+            What = res.W_hat.T.astype(Wm.dtype)
+            new_layer = _set_path(new_layer, spec.path, What)
+            art.results[full_name] = res
+            art.errors[full_name] = float(res.error)
+            art.Hmags[full_name] = float(res.Hmag)
+            if keep_hessians:
+                art.hessians[full_name] = H[spec.tap]
+        art.times[f"layers.{li}"] = time.time() - t0
+
+        # --- pass 2: replay with quantized weights (opt.py:172-174) ---
+        outs = []
+        for i in range(0, N, chunk):
+            outs.append(replay(new_layer, inps[i:i + chunk]))
+        inps = jnp.concatenate(outs, axis=0)
+
+        new_block_list.append(new_layer)
+        if progress:
+            err = sum(v for k, v in art.errors.items()
+                      if k.startswith(f"layers.{li}."))
+            print(f"[quantize] layer {li + 1}/{n_layers} "
+                  f"error={err:.4f} t={art.times[f'layers.{li}']:.1f}s",
+                  flush=True)
+
+    new_blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *new_block_list)
+    new_params = dict(params)
+    new_params["blocks"] = new_blocks
+    return new_params, art
+
+
+def _set_path(tree, path, value):
+    """Immutable nested-dict update."""
+    if len(path) == 1:
+        out = dict(tree)
+        out[path[0]] = value
+        return out
+    out = dict(tree)
+    out[path[0]] = _set_path(tree[path[0]], path[1:], value)
+    return out
+
+
+def save_hessians(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    calib_tokens: jax.Array,
+    *,
+    chunk: int = 4,
+) -> Dict[str, jax.Array]:
+    """Hessian-saver (parity with opt_saveH.py:165-166): run calibration
+    only, return {layer_name: H} without quantizing."""
+    N, S = calib_tokens.shape
+    specs = M.linear_specs(cfg)
+    inps = _block_inputs(params, cfg, calib_tokens, chunk)
+    accumulate, replay = _make_block_fns(cfg, S, chunk)
+    out: Dict[str, jax.Array] = {}
+    blocks = params["blocks"]
+    for li in range(cfg.n_layers):
+        layer_params = jax.tree.map(lambda x: x[li], blocks)
+        _, _, probe_taps = M.block_apply(
+            layer_params, inps[:chunk], cfg,
+            jnp.broadcast_to(jnp.arange(S), (chunk, S)),
+            M.causal_mask(chunk, S), with_taps=True)
+        H = {name: jnp.zeros((x.shape[-1], x.shape[-1]), jnp.float32)
+             for name, x in probe_taps.items()}
+        for i in range(0, N, chunk):
+            _, H = accumulate(layer_params, inps[i:i + chunk], H)
+        H = {k: v / N for k, v in H.items()}
+        for spec in specs:
+            out[f"layers.{li}.{spec.name}"] = H[spec.tap]
+        outs = []
+        for i in range(0, N, chunk):
+            outs.append(replay(layer_params, inps[i:i + chunk]))
+        inps = jnp.concatenate(outs, axis=0)
+    return out

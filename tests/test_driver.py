@@ -1,0 +1,129 @@
+"""End-to-end slice: calibrate -> quantize -> eval perplexity on tiny models.
+
+This is the test-pyramid apex for the quantization side (SURVEY.md §4g):
+the full pipeline must (a) run, (b) keep valid grid weights, (c) degrade
+perplexity only modestly at 4 bits, and (d) beat nearest at 2 bits.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quip_tpu.eval.ppl import perplexity
+from quip_tpu.models import get_config
+from quip_tpu.models import model as M
+from quip_tpu.quantize.config import QuantConfig
+from quip_tpu.quantize.driver import quantize_model, save_hessians
+
+
+def _toy_stream(rng, vocab, n):
+    """Synthetic 'language': markov-ish token stream so the model's H has
+    correlated structure."""
+    toks = [int(rng.integers(vocab))]
+    for _ in range(n - 1):
+        if rng.random() < 0.7:
+            toks.append((toks[-1] * 7 + 3) % vocab)
+        else:
+            toks.append(int(rng.integers(vocab)))
+    return np.asarray(toks, dtype=np.int32)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    stream = _toy_stream(rng, cfg.vocab_size, 4096)
+    seqlen = 64
+    calib = stream[: 8 * seqlen].reshape(8, seqlen)
+    test = stream[8 * seqlen:]
+    return cfg, params, jnp.asarray(calib), test, seqlen
+
+
+def test_quantize_model_4bit(tiny_setup):
+    cfg, params, calib, test, seqlen = tiny_setup
+    qcfg = QuantConfig.incoherence(wbits=4, method="ldlq")
+    newp, art = quantize_model(params, cfg, calib, qcfg, jax.random.key(1),
+                               chunk=4)
+    # every linear got quantized
+    assert len(art.errors) == cfg.n_layers * len(M.linear_specs(cfg))
+    assert all(np.isfinite(v) for v in art.errors.values())
+
+    ppl_fp = perplexity(params, cfg, test, seqlen)
+    ppl_q = perplexity(newp, cfg, test, seqlen)
+    assert np.isfinite(ppl_q)
+    # 4-bit incoherence quantization should cost < 15% ppl on this toy
+    assert ppl_q < ppl_fp * 1.15, (ppl_fp, ppl_q)
+
+
+def test_2bit_ldlq_beats_2bit_nearest(tiny_setup):
+    """At 2 bits, LDLQ+incoherence must reconstruct the fp model's *outputs*
+    better than plain nearest (logits MSE on held-out windows — a sharper
+    discriminator than toy-model perplexity)."""
+    cfg, params, calib, test, seqlen = tiny_setup
+    k = jax.random.key(2)
+    p_ldlq, _ = quantize_model(
+        params, cfg, calib, QuantConfig.incoherence(2, "ldlq"), k, chunk=4)
+    p_near, _ = quantize_model(
+        params, cfg, calib, QuantConfig(wbits=2, method="nearest", qfn="a"),
+        k, chunk=4)
+    win = jnp.asarray(test[: 4 * seqlen].reshape(4, seqlen).astype(np.int32))
+    ref_logits = M.forward(params, win, cfg)
+
+    def mse(p):
+        return float(jnp.mean((M.forward(p, win, cfg) - ref_logits) ** 2))
+
+    m_ldlq, m_near = mse(p_ldlq), mse(p_near)
+    assert m_ldlq < m_near, (m_ldlq, m_near)
+
+
+def test_wbits16_is_identity(tiny_setup):
+    cfg, params, calib, test, seqlen = tiny_setup
+    newp, art = quantize_model(params, cfg, calib,
+                               QuantConfig(wbits=16), jax.random.key(3))
+    assert art.errors == {}
+    a = jax.tree.leaves(params["blocks"])
+    b = jax.tree.leaves(newp["blocks"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_layer_filter_subset(tiny_setup):
+    """Quantize only fc2 (proxy-eval style, opt_proxy.py:227-236)."""
+    cfg, params, calib, test, seqlen = tiny_setup
+    newp, art = quantize_model(
+        params, cfg, calib, QuantConfig.incoherence(4, "ldlq"),
+        jax.random.key(4), layer_filter=["fc2"])
+    assert set(k.split(".")[-1] for k in art.errors) == {"fc2"}
+    # untouched weights identical
+    np.testing.assert_array_equal(
+        np.asarray(newp["blocks"]["attn"]["wq"]),
+        np.asarray(params["blocks"]["attn"]["wq"]))
+    assert not np.array_equal(np.asarray(newp["blocks"]["mlp"]["w2"]),
+                              np.asarray(params["blocks"]["mlp"]["w2"]))
+
+
+def test_save_hessians(tiny_setup):
+    cfg, params, calib, *_ = tiny_setup
+    Hs = save_hessians(params, cfg, calib, chunk=4)
+    assert len(Hs) == cfg.n_layers * len(M.linear_specs(cfg))
+    for name, H in Hs.items():
+        H = np.asarray(H)
+        assert H.shape[0] == H.shape[1]
+        np.testing.assert_allclose(H, H.T, atol=1e-4)
+        ev = np.linalg.eigvalsh(H)
+        assert ev.min() > -1e-4    # PSD up to numerics
+
+
+def test_llama_family_quantizes(tiny_setup):
+    cfg = get_config("llama-tiny")
+    params = M.init_params(jax.random.key(5), cfg)
+    rng = np.random.default_rng(1)
+    stream = _toy_stream(rng, cfg.vocab_size, 1024)
+    calib = jnp.asarray(stream[:512].reshape(8, 64))
+    newp, art = quantize_model(params, cfg, calib,
+                               QuantConfig.incoherence(2, "ldlq"),
+                               jax.random.key(6), chunk=4)
+    assert len(art.errors) == cfg.n_layers * len(M.linear_specs(cfg))
+    ppl = perplexity(newp, cfg, stream[512:], 64)
+    assert np.isfinite(ppl)
