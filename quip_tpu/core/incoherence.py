@@ -28,6 +28,14 @@ import jax
 import jax.numpy as jnp
 
 
+def raw_key(key: jax.Array) -> jax.Array:
+    """Normalize a PRNG key to the raw uint32 representation so it can live
+    inside checkpoints (np.savez can't serialize typed key arrays)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(key)
+    return key
+
+
 def prime_factors(n: int) -> list[int]:
     """Prime factorization by trial division (replaces the primefac dep)."""
     fs = []

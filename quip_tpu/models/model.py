@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from quip_tpu.models.config import ModelConfig
+from quip_tpu.ops.qlinear import linear_apply
 
 Params = Dict[str, Any]
 
@@ -130,9 +131,9 @@ def attention(
 
     if taps is not None:
         taps["attn_in"] = x
-    q = x @ p["wq"] + p.get("bq", 0.0)
-    k = x @ p["wk"] + p.get("bk", 0.0)
-    v = x @ p["wv"] + p.get("bv", 0.0)
+    q = linear_apply(p["wq"], x) + p.get("bq", 0.0)
+    k = linear_apply(p["wk"], x) + p.get("bk", 0.0)
+    v = linear_apply(p["wv"], x) + p.get("bv", 0.0)
     q = q.reshape(B, S, H, hd)
     k = k.reshape(B, S, KV, hd)
     v = v.reshape(B, S, KV, hd)
@@ -179,7 +180,7 @@ def attention(
 
     if taps is not None:
         taps["o_in"] = out
-    out = out @ p["wo"] + p.get("bo", 0.0)
+    out = linear_apply(p["wo"], out) + p.get("bo", 0.0)
     return out, cache
 
 
@@ -193,20 +194,20 @@ def mlp(p: Params, x: jax.Array, cfg: ModelConfig,
     if taps is not None:
         taps["mlp_in"] = x
     if cfg.act == "silu_glu":
-        g = x @ p["wg"]
-        u = x @ p["wu"]
+        g = linear_apply(p["wg"], x)
+        u = linear_apply(p["wu"], x)
         h = jax.nn.silu(g) * u
         if taps is not None:
             taps["down_in"] = h
-        return h @ p["wd"]
-    h = x @ p["w1"] + p.get("b1", 0.0)
+        return linear_apply(p["wd"], h)
+    h = linear_apply(p["w1"], x) + p.get("b1", 0.0)
     if cfg.act == "relu":
         h = jax.nn.relu(h)
     elif cfg.act == "gelu":
         h = jax.nn.gelu(h, approximate=False)
     if taps is not None:
         taps["down_in"] = h
-    return h @ p["w2"] + p.get("b2", 0.0)
+    return linear_apply(p["w2"], h) + p.get("b2", 0.0)
 
 
 # ---------------------------------------------------------------------------

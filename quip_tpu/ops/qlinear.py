@@ -1,0 +1,83 @@
+"""Quantized-linear forward: the full incoherence-aware inference op.
+
+y = x @ Ŵᵀ with Ŵ = diag(1/s) is folded into the activation path:
+
+    Ŵ = Uᵀ Ŵ₂ V · diag(1/s)   (postproc, method.py:195-214)
+ => y = ((x / s) @ Vᵀ) @ Ŵ₂ᵀ @ U
+
+Steps: diagonal un-scale (VPU) -> butterfly Vᵀ (two tiny batched matmuls)
+-> fused packed dequant-matmul (Pallas, kernels/dequant_matmul.py) ->
+butterfly U. The dense rotated weights are never materialized — this is the
+"fused unpack -> un-rotate -> dequant -> GEMM" design from SURVEY.md §2.5.
+
+The reference has no equivalent: its packed path (quant.py:222-233) only ran
+single-token through an external CUDA op and stored *unrotated* qfn-a grids.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from quip_tpu.core import incoherence as inc
+from quip_tpu.kernels.dequant_matmul import dequant_matmul, dequant_matmul_ref
+from quip_tpu.pack.format import PackedLinear
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: int,
+                   use_kernel: Optional[bool]) -> jax.Array:
+    """x2 (B, d) @ Ŵ₂ᵀ via the fused kernel (TPU) or jnp reference (CPU)."""
+    use = _use_pallas() if use_kernel is None else use_kernel
+    scale = q.scale_b if q.qfn == "b" else q.scale
+    zero = None if q.qfn == "b" else q.zero
+    if use:
+        B = x2.shape[0]
+        pad = (-B) % 8
+        if pad:
+            x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        out = dequant_matmul(x2, q.planes, scale, zero, bits=q.bits,
+                             qfn=q.qfn, tile_m=min(tile_m, q.out_features))
+        return out[:B] if pad else out
+    return dequant_matmul_ref(x2, q.planes, scale, zero, bits=q.bits,
+                              qfn=q.qfn)
+
+
+def qlinear_apply(q: PackedLinear, x: jax.Array, *,
+                  tile_m: int = 256,
+                  use_kernel: Optional[bool] = None) -> jax.Array:
+    """Apply a packed quantized linear to x (..., in_features)."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    assert d == q.in_features, (d, q.in_features)
+    x2 = x.reshape(-1, d)
+
+    if q.scaleWH is not None:
+        x2 = x2 / q.scaleWH.astype(x2.dtype)[None, :]
+
+    if q.proj_key is not None:
+        ku, kv = jax.random.split(q.proj_key)
+        U = inc.gen_butterfly(ku, q.out_features, q.proj_mode, x2.dtype)
+        V = inc.gen_butterfly(kv, q.in_features, q.proj_mode, x2.dtype)
+        x2 = inc.apply_butterfly(V, x2, axis=-1)          # x @ Vᵀ
+        t = _packed_matmul(q, x2, tile_m, use_kernel)     # @ Ŵ₂ᵀ
+        y = inc.apply_butterfly(U, t, axis=-1, transpose=True)  # @ U
+    else:
+        y = _packed_matmul(q, x2, tile_m, use_kernel)
+
+    if q.bias is not None:
+        y = y + q.bias.astype(y.dtype)
+    return y.reshape(*lead, q.out_features)
+
+
+def linear_apply(w, x: jax.Array) -> jax.Array:
+    """Dense-or-packed dispatch: the model code path calls this for every
+    projection so a quantized model is just the same param tree with
+    PackedLinear leaves."""
+    if isinstance(w, PackedLinear):
+        return qlinear_apply(w, x)
+    return x @ w

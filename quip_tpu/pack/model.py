@@ -1,0 +1,135 @@
+"""Packed-model assembly and checkpoint IO.
+
+Replaces the reference's pack/load drivers (opt_pack3/load_quant3,
+/root/reference/opt.py:302-381, llama.py:256-358) with a TPU-native packed
+checkpoint: int2/3/4 payload planes + grid params + PRNG keys that
+regenerate the incoherence rotations (SURVEY.md §5.4). A packed Llama-2-7B
+at 2 bits is ~2 GB instead of 13 GB fp16.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quip_tpu.models import model as M
+from quip_tpu.models.config import ModelConfig
+from quip_tpu.pack.format import PackedLinear, pack_layer_result
+
+
+def pack_quantized_model(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    artifacts,                      # QuantizedModelArtifacts
+    wbits: int,
+) -> Dict[str, Any]:
+    """Swap each quantized linear's dense leaf for a PackedLinear.
+
+    The result is a drop-in param tree: models/model.py routes every
+    projection through ops.qlinear.linear_apply, which dispatches on leaf
+    type. Blocks stay stacked (scan-compatible — PackedLinear is a pytree).
+    """
+    specs = M.linear_specs(cfg)
+    blocks = params["blocks"]
+    per_layer = []
+    for li in range(cfg.n_layers):
+        layer = jax.tree.map(lambda x: x[li], blocks)
+        for spec in specs:
+            res = artifacts.results.get(f"layers.{li}.{spec.name}")
+            if res is None or res.codes is None:
+                continue
+            packed = pack_layer_result(res, wbits)
+            layer = _set_path(layer, spec.path, packed)
+        per_layer.append(layer)
+    new_blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    out = dict(params)
+    out["blocks"] = new_blocks
+    return out
+
+
+def _set_path(tree, path, value):
+    out = dict(tree)
+    if len(path) == 1:
+        out[path[0]] = value
+    else:
+        out[path[0]] = _set_path(tree[path[0]], path[1:], value)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint IO (flat .npz + JSON treedef) — works for dense and packed trees
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, params: Dict[str, Any],
+                    meta: Dict[str, Any] | None = None) -> None:
+    """Save a (possibly packed) param tree.
+
+    Layout: <path>/arrays.npz with leaves keyed by index, plus tree.json
+    holding the treedef repr and metadata. PackedLinear aux data round-trips
+    through the pytree registry.
+    """
+    os.makedirs(path, exist_ok=True)
+    leaves, treedef = jax.tree.flatten(params)
+    np.savez(os.path.join(path, "arrays.npz"),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    spec = {
+        "treedef": _treedef_to_json(params),
+        "meta": meta or {},
+        "n_leaves": len(leaves),
+    }
+    with open(os.path.join(path, "tree.json"), "w") as f:
+        json.dump(spec, f)
+
+
+def load_checkpoint(path: str) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    with open(os.path.join(path, "tree.json")) as f:
+        spec = json.load(f)
+    data = np.load(os.path.join(path, "arrays.npz"))
+    leaves = [jnp.asarray(data[f"leaf_{i}"])
+              for i in range(spec["n_leaves"])]
+    tree = _treedef_from_json(spec["treedef"], iter(leaves))
+    return tree, spec["meta"]
+
+
+def _treedef_to_json(tree) -> Any:
+    """Serialize the tree structure (dicts/lists/tuples/PackedLinear/None)
+    with leaves replaced by a sentinel."""
+    if isinstance(tree, dict):
+        # jax.tree.flatten visits dict keys in sorted order; serialize in the
+        # same order so leaves re-attach correctly on load
+        return {"__t": "dict",
+                "items": {k: _treedef_to_json(tree[k])
+                          for k in sorted(tree.keys())}}
+    if isinstance(tree, (list, tuple)):
+        kind = "list" if isinstance(tree, list) else "tuple"
+        # NamedTuples (KVCache etc.) are stored as plain tuples
+        return {"__t": kind, "items": [_treedef_to_json(v) for v in tree]}
+    if isinstance(tree, PackedLinear):
+        children, aux = tree.tree_flatten()
+        return {"__t": "packed_linear", "aux": list(aux),
+                "children": [_treedef_to_json(c) for c in children]}
+    if tree is None:
+        return {"__t": "none"}
+    return {"__t": "leaf"}
+
+
+def _treedef_from_json(spec, leaves_iter):
+    t = spec["__t"]
+    if t == "dict":
+        return {k: _treedef_from_json(v, leaves_iter)
+                for k, v in spec["items"].items()}
+    if t in ("list", "tuple"):
+        items = [_treedef_from_json(v, leaves_iter) for v in spec["items"]]
+        return items if t == "list" else tuple(items)
+    if t == "packed_linear":
+        children = tuple(_treedef_from_json(c, leaves_iter)
+                         for c in spec["children"])
+        return PackedLinear.tree_unflatten(tuple(spec["aux"]), children)
+    if t == "none":
+        return None
+    return next(leaves_iter)

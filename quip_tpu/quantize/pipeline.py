@@ -71,7 +71,9 @@ def quantize_layer(
       (vector_balance.py:499-532 / gptq.py:19-116) -> postproc
       (method.py:195-214) -> proxy error (method.py:228-233).
     """
-    kproj, kround = jax.random.split(key)
+    from quip_tpu.core.incoherence import raw_key
+
+    kproj, kround = jax.random.split(raw_key(key))
     W0 = W.astype(jnp.float32) if W.dtype == jnp.bfloat16 else W
     H = H.astype(W0.dtype)
 
@@ -100,6 +102,10 @@ def quantize_layer(
                             zero=jnp.zeros((Wp.shape[0], 1), Wp.dtype),
                             maxq=maxq)
         What_p = gptq_round(Wp, Hp, gp, cfg.qfn, cfg.blocksize, cfg.groupsize)
+        if cfg.qfn in ("a", "c") and cfg.groupsize == -1:
+            # recover integer codes from the grid for packing (the
+            # reference's pack path does the same inversion, quant.py:190-191)
+            codes = jnp.clip(jnp.round(What_p / gp.scale + gp.zero), 0, maxq)
     elif cfg.qfn == "a":
         gp = grid_mod.find_params_qfna(Wp, cfg.wbits, perchannel=True,
                                        sym=False)

@@ -1,0 +1,132 @@
+"""Pack/unpack round-trip + fused dequant-matmul kernel numerics +
+packed-checkpoint IO (SURVEY.md §4d, §4e)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quip_tpu.core import ldlq
+from quip_tpu.kernels.dequant_matmul import dequant_matmul, dequant_matmul_ref
+from quip_tpu.ops.qlinear import qlinear_apply
+from quip_tpu.pack.format import (PackedLinear, pack_codes,
+                                  pack_layer_result, unpack_codes)
+from quip_tpu.quantize.config import QuantConfig
+from quip_tpu.quantize.pipeline import quantize_layer
+from tests.conftest import make_psd_hessian
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+def test_pack_unpack_roundtrip(rng, bits):
+    m, d = 24, 128
+    codes = jnp.asarray(rng.integers(0, 2**bits, (m, d)), jnp.int32)
+    planes = pack_codes(codes, bits)
+    # packed payload is the expected factor smaller
+    payload_bits = sum(p.size * 32 for p in planes)
+    assert payload_bits == m * d * bits
+    back = unpack_codes(planes, bits, d)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(codes))
+
+
+@pytest.mark.parametrize("bits,qfn", [(2, "b"), (3, "b"), (4, "b"),
+                                      (2, "a"), (4, "a")])
+def test_dequant_matmul_interpret_matches_ref(rng, bits, qfn):
+    """Pallas kernel (interpret mode on CPU) vs pure-jnp reference."""
+    B, m, d = 8, 256, 128
+    codes = jnp.asarray(rng.integers(0, 2**bits, (m, d)), jnp.int32)
+    planes = pack_codes(codes, bits)
+    x = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+    if qfn == "b":
+        scale = jnp.asarray(0.37, jnp.float32)
+        zero = None
+    else:
+        scale = jnp.asarray(rng.random(m) * 0.1 + 0.01, jnp.float32)
+        zero = jnp.asarray(rng.integers(0, 2**bits, m), jnp.float32)
+    want = np.asarray(dequant_matmul_ref(x, planes, scale, zero, bits=bits,
+                                         qfn=qfn))
+    got = np.asarray(dequant_matmul(x, planes, scale, zero, bits=bits,
+                                    qfn=qfn, tile_m=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_linear_dequantize_matches_pipeline(rng):
+    """PackedLinear.dequantize must reproduce quantize_layer's W_hat."""
+    m, d = 64, 96
+    W = jnp.asarray(rng.standard_normal((m, d)))
+    H = jnp.asarray(make_psd_hessian(rng, d))
+    cfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    res = quantize_layer(W, H, cfg, jax.random.key(0))
+    packed = pack_layer_result(res, 2)
+    Wd = packed.dequantize(dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(Wd), np.asarray(res.W_hat),
+                               atol=1e-6)
+
+
+def test_qlinear_apply_matches_dense(rng):
+    """Full fused path (rescale -> Vᵀ -> packed matmul -> U) == dense
+    x @ Ŵᵀ."""
+    m, d = 64, 96
+    W = jnp.asarray(rng.standard_normal((m, d)))
+    H = jnp.asarray(make_psd_hessian(rng, d))
+    cfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    res = quantize_layer(W, H, cfg, jax.random.key(1))
+    packed = pack_layer_result(res, 2)
+
+    x = jnp.asarray(rng.standard_normal((5, d)))
+    y_dense = x @ res.W_hat.T
+    y_packed = qlinear_apply(packed, x, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_qlinear_apply_qfna_no_rotation(rng):
+    m, d = 32, 64
+    W = jnp.asarray(rng.standard_normal((m, d)))
+    H = jnp.asarray(make_psd_hessian(rng, d))
+    cfg = QuantConfig(wbits=4, method="ldlq", qfn="a")
+    res = quantize_layer(W, H, cfg, jax.random.key(2))
+    packed = pack_layer_result(res, 4)
+    x = jnp.asarray(rng.standard_normal((3, d)))
+    y_dense = x @ res.W_hat.T
+    y_packed = qlinear_apply(packed, x, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_checkpoint_roundtrip(rng, tmp_path):
+    """Quantize a tiny model, pack it, save, load, compare logits."""
+    from quip_tpu.eval.ppl import perplexity
+    from quip_tpu.models import get_config
+    from quip_tpu.models import model as M
+    from quip_tpu.pack.model import (load_checkpoint, pack_quantized_model,
+                                     save_checkpoint)
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(3), cfg)
+    rng_t = np.random.default_rng(0)
+    calib = jnp.asarray(rng_t.integers(0, cfg.vocab_size, (4, 32)),
+                        jnp.int32)
+    qcfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    qparams, art = quantize_model(params, cfg, calib, qcfg,
+                                  jax.random.key(4), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+
+    tokens = jnp.asarray(rng_t.integers(0, cfg.vocab_size, (1, 16)),
+                         jnp.int32)
+    logits_dense = np.asarray(M.forward(qparams, tokens, cfg))
+    logits_packed = np.asarray(M.forward(packed, tokens, cfg))
+    np.testing.assert_allclose(logits_packed, logits_dense, rtol=1e-3,
+                               atol=1e-3)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, packed, {"model": "opt-tiny", "wbits": 2})
+    loaded, meta = load_checkpoint(path)
+    assert meta["wbits"] == 2
+    logits_loaded = np.asarray(M.forward(loaded, tokens, cfg))
+    np.testing.assert_allclose(logits_loaded, logits_packed, atol=1e-5)
+
+    # packed checkpoint is materially smaller than dense fp32
+    import os
+    sz = os.path.getsize(os.path.join(path, "arrays.npz"))
+    dense_sz = sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))
+    assert sz < dense_sz
