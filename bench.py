@@ -1,0 +1,99 @@
+"""Headline benchmark: single-chip Llama-2-7B decode throughput, 2-bit packed
+(fused Pallas dequant-matmul + incoherence rotations) vs bf16 dense baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/s (2-bit), "unit": "tokens/s",
+   "vs_baseline": speedup over bf16 dense on the same chip}
+
+Measurement notes: decode at batch 1 is HBM-bandwidth-bound (every token
+streams all weights); the 2-bit packed path reads 8x fewer weight bytes.
+Timing chains N dependent decode steps and synchronizes once at the end via a
+host read — `block_until_ready` alone does not guarantee execution completion
+on relayed TPU backends.
+
+The reference has no working benchmark (its latency harness is commented out,
+opt.py:629-640; its packed path was single-token CUDA-only) — the baseline
+here is this framework's own bf16 dense decode, the honest comparison for
+weight-only quantization (vs_baseline > 1 means the packed path wins).
+"""
+import gc
+import json
+import time
+from dataclasses import replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160):
+    from quip_tpu.models import model as M
+
+    caches = M.init_caches(batch, max_seq, cfg, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def step(params, tok, caches):
+        logits, caches = M.decode_step(params, tok, caches, cfg)
+        return jnp.argmax(logits, -1)[:, None].astype(jnp.int32), caches
+
+    tok = jnp.zeros((batch, 1), jnp.int32)
+    for _ in range(warmup):
+        tok, caches = step(params, tok, caches)
+    int(tok[0, 0])          # hard sync (see module docstring)
+
+    t0 = time.time()
+    tok_t, caches_t = tok, caches
+    for _ in range(steps):
+        tok_t, caches_t = step(params, tok_t, caches_t)
+    int(tok_t[0, 0])        # end-of-chain hard sync
+    dt = (time.time() - t0) / steps
+    return batch / dt       # tokens/sec
+
+
+def main():
+    from __graft_entry__ import _packed_llama
+    from quip_tpu.models import get_config
+    from quip_tpu.models import model as M
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # CPU smoke fallback: tiny shapes so the harness still emits a line
+        cfg = replace(get_config("llama-tiny"), dtype="bfloat16")
+        label = "llama-tiny"
+        steps = 16
+    else:
+        cfg = replace(get_config("llama-2-7b"), dtype="bfloat16")
+        label = "llama2-7b"
+        steps = 96
+
+    # sequential build/bench: dense 7B bf16 (~13.5 GB) and packed (~2.2 GB)
+    # don't fit in HBM together
+    import sys, time as _t
+    _t0 = _t.time()
+    dense = M.init_params(jax.random.key(0), cfg)
+    print(f"# built dense in {_t.time()-_t0:.0f}s", file=sys.stderr)
+    _t0 = _t.time()
+    tps_dense = bench_decode(dense, cfg, steps=steps)
+    print(f"# dense bench {_t.time()-_t0:.0f}s: {tps_dense:.1f} tok/s",
+          file=sys.stderr)
+    del dense
+    gc.collect()
+
+    _t0 = _t.time()
+    packed = _packed_llama(cfg, bits=2, seed=0)
+    print(f"# built packed in {_t.time()-_t0:.0f}s", file=sys.stderr)
+    _t0 = _t.time()
+    tps_packed = bench_decode(packed, cfg, steps=steps)
+    print(f"# packed bench {_t.time()-_t0:.0f}s: {tps_packed:.1f} tok/s",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec_{label}_2bit",
+        "value": round(tps_packed, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps_packed / tps_dense, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Quantize CLI — parity with `python opt.py <model> <dataset> ...`
+(/root/reference/opt.py:485-656, llama.py:474-576).
+
+Example:
+  python -m quip_tpu.cli.quantize opt-tiny synthetic --wbits 2 --quant ldlq \
+      --incoh_processing --save /tmp/ckpt --packed
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quip_tpu.cli import common
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("quip_tpu.quantize")
+    common.add_model_args(p)
+    common.add_data_args(p)
+    common.add_quant_args(p)
+    p.add_argument("--save", type=str, default=None,
+                   help="checkpoint dir to write")
+    p.add_argument("--packed", action="store_true",
+                   help="save packed int codes instead of dequantized dense")
+    p.add_argument("--eval", action="store_true",
+                   help="run perplexity after quantizing (opt.py:648-656)")
+    p.add_argument("--chunk", type=int, default=4)
+    p.add_argument("--proxy_only", action="store_true",
+                   help="report proxy losses only, skip final eval")
+    args = p.parse_args(argv)
+
+    params, cfg = common.load_model(args)
+    (calib, test_stream), seqlen = common.get_data(args, cfg)
+    qcfg = common.quant_config_from_args(args)
+
+    from quip_tpu.quantize.driver import quantize_model
+    t0 = time.time()
+    newp, art = quantize_model(params, cfg, jnp.asarray(calib), qcfg,
+                               jax.random.key(args.seed), chunk=args.chunk,
+                               progress=True)
+    print(f"Total quant time: {time.time() - t0:.2f}s")
+    print(f"Total proxy error: {art.total_error:.4f}")
+
+    if args.save:
+        from quip_tpu.pack.model import pack_quantized_model, save_checkpoint
+        to_save = newp
+        if args.packed and args.wbits < 16:
+            to_save = pack_quantized_model(newp, cfg, art, args.wbits)
+        save_checkpoint(args.save, to_save, {
+            "model": args.model, "wbits": args.wbits, "quant": args.quant,
+            "packed": bool(args.packed), "seqlen": seqlen,
+        })
+        print(f"saved checkpoint to {args.save}")
+
+    if args.eval and not args.proxy_only:
+        from quip_tpu.eval.ppl import perplexity
+        ppl = perplexity(newp, cfg, test_stream, seqlen)
+        print(json.dumps({"dataset": args.dataset, "ppl": ppl}))
+
+
+if __name__ == "__main__":
+    main()

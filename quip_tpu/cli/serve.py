@@ -1,0 +1,69 @@
+"""Serving CLI: continuous-batching generation from a (packed) checkpoint.
+
+No reference counterpart (the reference's decode loop is commented out,
+llama.py:530-538); this is the new serving surface.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from quip_tpu.cli import common
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("quip_tpu.serve")
+    common.add_model_args(p)
+    p.add_argument("--load", type=str, default=None)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_seq", type=int, default=512)
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--prompt", type=str, action="append", default=None,
+                   help="prompt(s); '-' reads one prompt per stdin line")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways over the device mesh")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    params, cfg = common.load_model(args)
+    if args.load:
+        from quip_tpu.pack.model import load_checkpoint
+        params, meta = load_checkpoint(args.load)
+        print(f"loaded {meta}", file=sys.stderr)
+
+    if args.tp > 1:
+        from quip_tpu.parallel.mesh import make_mesh, shard_params
+        mesh = make_mesh(dp=1, tp=args.tp)
+        params = shard_params(params, cfg, mesh)
+
+    from quip_tpu.eval.zeroshot.lm import ByteTokenizer, load_hf_tokenizer
+    try:
+        tokenizer = load_hf_tokenizer(args.model)
+    except Exception:
+        tokenizer = ByteTokenizer(cfg.vocab_size)
+
+    prompts = args.prompt or ["Hello"]
+    if prompts == ["-"]:
+        prompts = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
+
+    from quip_tpu.serve.engine import Engine
+    eng = Engine(params, cfg, max_batch=args.max_batch,
+                 max_seq=args.max_seq, seed=args.seed)
+    t0 = time.time()
+    reqs = eng.run([dict(prompt=tokenizer.encode(s),
+                         max_new_tokens=args.max_new_tokens,
+                         temperature=args.temperature) for s in prompts])
+    dt = time.time() - t0
+    total_toks = sum(len(r.generated) for r in reqs)
+    for s, r in zip(prompts, reqs):
+        print(json.dumps({"prompt": s,
+                          "completion": tokenizer.decode(r.generated)}))
+    print(f"[{total_toks} tokens in {dt:.2f}s = "
+          f"{total_toks / dt:.1f} tok/s]", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,13 +84,15 @@ def random_orthogonal(key: jax.Array, p: int, size: int,
     of a Gaussian with R-diagonal sign correction gives Haar on O(p); a
     column flip makes det = +1 (SO(p)), matching special_ortho_group.
     """
+    # QR (lapack / XLA) has no bf16 path: sample in >= f32, cast at the end
+    cdtype = jnp.promote_types(dtype, jnp.float32)
     if p == 2:
-        t = jax.random.uniform(key, (size,), dtype=dtype) * (2 * math.pi)
+        t = jax.random.uniform(key, (size,), dtype=cdtype) * (2 * math.pi)
         c, s = jnp.cos(t), jnp.sin(t)
         return jnp.stack(
             [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2
-        )
-    g = jax.random.normal(key, (size, p, p), dtype=dtype)
+        ).astype(dtype)
+    g = jax.random.normal(key, (size, p, p), dtype=cdtype)
     q, r = jnp.linalg.qr(g)
     sign = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
     sign = jnp.where(sign == 0, 1.0, sign)
@@ -98,7 +100,7 @@ def random_orthogonal(key: jax.Array, p: int, size: int,
     det = jnp.linalg.det(q)
     # flip the last column where det < 0 so det = +1
     flip = jnp.where(det < 0, -1.0, 1.0)
-    return q.at[:, :, -1].multiply(flip[:, None])
+    return q.at[:, :, -1].multiply(flip[:, None]).astype(dtype)
 
 
 def gen_butterfly(key: jax.Array, n: int, mode: str = "noblock",

@@ -1,0 +1,246 @@
+"""JAX LM adapter for the zero-shot harness.
+
+Capability parity with BaseLM
+(/root/reference/zeroShot/models/models_utils.py:140-548): loglikelihood,
+loglikelihood_rolling, greedy_until, with the reference's exact scoring
+semantics (left-truncate to max_length+1, score the last len(cont) logits,
+exact-greedy-match flag, length-descending reordering).
+
+TPU-first: requests are padded into power-of-two *length buckets* at a fixed
+batch size, so the whole eval compiles a handful of programs instead of one
+per sequence length (the reference runs batch_size=1 with per-length shapes,
+zeroShot/utils.py:97).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quip_tpu.models import model as M
+from quip_tpu.models.config import ModelConfig
+
+
+class ByteTokenizer:
+    """Hermetic fallback tokenizer (tests / offline smoke): UTF-8 bytes
+    offset by 1, eot = 0. Real evals use an HF tokenizer via
+    `load_hf_tokenizer`."""
+
+    def __init__(self, vocab_size: int = 512):
+        self.vocab_size = vocab_size
+        self.eot_token_id = 0
+
+    def encode(self, s: str) -> List[int]:
+        return [1 + (b % (self.vocab_size - 1)) for b in s.encode("utf-8")]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return bytes((i - 1) % 256 for i in ids if i > 0).decode(
+            "utf-8", errors="replace")
+
+
+def load_hf_tokenizer(model_name: str):
+    """HF tokenizer (requires local cache or network)."""
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_name, use_fast=False)
+
+    class _Wrap:
+        eot_token_id = tok.eos_token_id or 0
+        vocab_size = tok.vocab_size
+
+        def encode(self, s):
+            return tok.encode(s, add_special_tokens=False)
+
+        def decode(self, ids):
+            return tok.decode(ids)
+
+    return _Wrap()
+
+
+class Reorderer:
+    """Length-descending request reordering (models_utils.py:523-548)."""
+
+    def __init__(self, arr, fn):
+        self.size = len(arr)
+        self.order = sorted(range(len(arr)), key=lambda i: fn(arr[i]))
+        self.arr = [arr[i] for i in self.order]
+
+    def get_reordered(self):
+        return self.arr
+
+    def get_original(self, newarr):
+        res = [None] * self.size
+        for pos, i in enumerate(self.order):
+            res[i] = newarr[pos]
+        assert all(r is not None for r in res)
+        return res
+
+
+def get_rolling_token_windows(token_list, prefix_token, max_seq_len,
+                              context_len):
+    """models_utils.py:480-520, verbatim semantics."""
+    assert 1 <= context_len <= max_seq_len
+    if not token_list:
+        return
+    pred_len = max_seq_len - context_len + 1
+    predicted = 0
+    first_seq_len = min(max_seq_len, len(token_list))
+    yield ([prefix_token] + token_list[:first_seq_len - 1],
+           token_list[:first_seq_len])
+    predicted += first_seq_len
+    while predicted < len(token_list):
+        window_pred_len = min(len(token_list) - predicted, pred_len)
+        window_end = predicted + window_pred_len
+        yield (
+            token_list[window_end - max_seq_len - 1:window_end - 1],
+            token_list[window_end - window_pred_len:window_end],
+        )
+        predicted += window_pred_len
+
+
+def make_disjoint_window(pair):
+    a, b = pair
+    return a[: len(a) - (len(b) - 1)], b
+
+
+def _bucket_len(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class JaxLM:
+    """The LM interface consumed by the evaluator."""
+
+    def __init__(self, params: Dict[str, Any], cfg: ModelConfig, tokenizer,
+                 batch_size: int = 4, max_length: Optional[int] = None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length or cfg.max_seq
+        self.eot_token_id = tokenizer.eot_token_id
+        self._fwd_cache: Dict[int, Any] = {}
+
+    # -- internals ----------------------------------------------------------
+
+    def _logprobs_fn(self, L: int):
+        """Jitted log-softmax forward at bucket length L (cached)."""
+        if L not in self._fwd_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def fwd(params, tokens):
+                logits = M.forward(params, tokens, cfg)
+                return jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1)
+
+            self._fwd_cache[L] = fwd
+        return self._fwd_cache[L]
+
+    def tok_encode(self, s: str) -> List[int]:
+        return self.tokenizer.encode(s)
+
+    # -- public API ---------------------------------------------------------
+
+    def loglikelihood(self, requests: List[Tuple[str, str]]):
+        new_reqs = []
+        for context, continuation in requests:
+            if context == "":
+                context_enc = [self.eot_token_id]
+            else:
+                context_enc = self.tok_encode(context)
+            continuation_enc = self.tok_encode(continuation)
+            new_reqs.append(((context, continuation), context_enc,
+                             continuation_enc))
+        return self._loglikelihood_tokens(new_reqs)
+
+    def loglikelihood_rolling(self, requests: List[Tuple[str]]):
+        loglikelihoods = []
+        for (string,) in requests:
+            windows = list(map(
+                make_disjoint_window,
+                get_rolling_token_windows(
+                    token_list=self.tok_encode(string),
+                    prefix_token=self.eot_token_id,
+                    max_seq_len=self.max_length,
+                    context_len=1,
+                )))
+            windows = [(None,) + x for x in windows]
+            nlls = self._loglikelihood_tokens(windows)
+            loglikelihoods.append(sum(x[0] for x in nlls))
+        return loglikelihoods
+
+    def _loglikelihood_tokens(self, requests):
+        res = []
+
+        def _collate(x):
+            toks = x[1] + x[2]
+            return (-len(toks), tuple(toks))
+
+        re_ord = Reorderer(requests, _collate)
+        reqs = re_ord.get_reordered()
+        B = self.batch_size
+
+        for start in range(0, len(reqs), B):
+            chunk = reqs[start:start + B]
+            inps, inplens, conts = [], [], []
+            for _, context_enc, continuation_enc in chunk:
+                assert len(context_enc) > 0
+                assert len(continuation_enc) > 0
+                assert len(continuation_enc) <= self.max_length
+                inp = (context_enc + continuation_enc)[
+                    -(self.max_length + 1):][:-1]
+                inps.append(inp)
+                inplens.append(len(inp))
+                conts.append(continuation_enc)
+
+            L = _bucket_len(max(inplens))
+            batch = np.zeros((B, L), np.int32)
+            for i, inp in enumerate(inps):
+                batch[i, :len(inp)] = inp
+            logprobs = np.asarray(
+                self._logprobs_fn(L)(self.params, jnp.asarray(batch)))
+
+            for i, ((cache_key, _, _), inplen, cont) in enumerate(
+                    zip(chunk, inplens, conts)):
+                contlen = len(cont)
+                lp = logprobs[i, inplen - contlen:inplen]      # (contlen, V)
+                greedy_toks = lp.argmax(axis=-1)
+                cont_arr = np.asarray(cont)
+                max_equal = bool((greedy_toks == cont_arr).all())
+                ll = float(lp[np.arange(contlen), cont_arr].sum())
+                res.append((ll, max_equal))
+        return re_ord.get_original(res)
+
+    def greedy_until(self, requests: List[Tuple[str, List[str]]],
+                     max_gen_toks: int = 256):
+        """Generate until a stop substring appears (models_utils.py:411-448),
+        driven by the serving engine."""
+        from quip_tpu.serve.engine import Engine
+
+        res = []
+
+        def _collate(x):
+            toks = self.tok_encode(x[0])
+            return (len(toks), x[0])
+
+        re_ord = Reorderer(requests, _collate)
+        for context, until in re_ord.get_reordered():
+            if isinstance(until, str):
+                until = [until]
+            context_enc = self.tok_encode(context)[
+                -(self.max_length - max_gen_toks):]
+            eng = Engine(self.params, self.cfg, max_batch=1,
+                         max_seq=min(self.max_length,
+                                     len(context_enc) + max_gen_toks + 8))
+            [req] = eng.run([dict(prompt=context_enc,
+                                  max_new_tokens=max_gen_toks)])
+            s = self.tokenizer.decode(req.generated)
+            for term in until:
+                s = s.split(term)[0]
+            res.append(s)
+        return re_ord.get_original(res)

@@ -1,0 +1,46 @@
+"""Task registry (parity with /root/reference/zeroShot/tasks/__init__.py:17-66)."""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from quip_tpu.eval.zeroshot import tasks as T
+
+TASK_REGISTRY = {
+    "lambada": T.LAMBADA,
+    "piqa": T.PiQA,
+    "arc_easy": T.ARCEasy,
+    "arc_challenge": T.ARCChallenge,
+    "boolq": T.BoolQ,
+    "cb": T.CommitmentBank,
+    "copa": T.Copa,
+    "wic": T.WordsInContext,
+    "multirc": T.MultiRC,
+    "rte": T.RTE,
+    "record": T.ReCoRD,
+    "wsc": T.WinogradSchemaChallenge,
+    "storycloze": T.StoryCloze,
+}
+
+ALL_TASKS = sorted(TASK_REGISTRY)
+
+# the paper's headline suite (reference README.md:53)
+PAPER_SUITE = ["arc_easy", "lambada", "piqa", "storycloze"]
+
+
+def get_task(task_name: str):
+    try:
+        return TASK_REGISTRY[task_name]
+    except KeyError:
+        raise KeyError(f"missing task {task_name}; known: {ALL_TASKS}")
+
+
+def get_task_dict(task_name_list: List[str],
+                  datasets: Optional[Dict[str, dict]] = None):
+    """Instantiate tasks. `datasets` optionally maps task name to pre-built
+    docs (offline operation)."""
+    out = {}
+    for name in task_name_list:
+        cls = get_task(name)
+        ds = (datasets or {}).get(name)
+        out[name] = cls(dataset=ds) if ds is not None else cls()
+    return out

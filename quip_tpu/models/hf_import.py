@@ -1,0 +1,188 @@
+"""Import HuggingFace checkpoints into quip_tpu param trees.
+
+Replaces the reference's `OPTForCausalLM.from_pretrained` + in-place surgery
+(opt.py:14-26, llama.py:17-33) with a direct state-dict -> pytree mapping
+(no torch modules are built; tensors are converted leaf-by-leaf so a 70B
+import streams instead of double-materializing).
+
+Sources: a local directory containing *.safetensors or pytorch_model*.bin,
+or anything `transformers` can resolve from its cache. Works fully offline
+when files are local.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Iterator, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from quip_tpu.models.config import ModelConfig, get_config
+
+
+def _iter_state_dict(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Stream (name, array) from local checkpoint files."""
+    sts = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))) or \
+        sorted(glob.glob(os.path.join(path, "*.bin")))
+    if sts:
+        from safetensors import safe_open
+
+        for f in sts:
+            with safe_open(f, framework="np") as sf:
+                for k in sf.keys():
+                    yield k, sf.get_tensor(k)
+    elif bins:
+        import torch
+
+        for f in bins:
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            for k, v in sd.items():
+                yield k, v.float().numpy()
+    else:
+        raise FileNotFoundError(f"no checkpoint files under {path!r}")
+
+
+def state_dict_to_params(sd: Dict[str, np.ndarray],
+                         cfg: ModelConfig, dtype=None) -> Dict[str, Any]:
+    """Map an HF state dict (name -> array) to a quip_tpu param tree."""
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    fam = cfg.family
+
+    def g(name):
+        arr = sd[name]
+        return jnp.asarray(np.asarray(arr), dtype)
+
+    def maybe(name):
+        return g(name) if name in sd else None
+
+    def lin_t(name):           # HF Linear weight (out, in) -> ours (in, out)
+        return jnp.asarray(np.asarray(sd[name]).T, dtype)
+
+    D, H, KV, hd = cfg.d_model, cfg.n_heads, cfg.kv_heads, cfg.hd
+
+    if fam == "opt":
+        pre = "model.decoder."
+        if pre + "embed_tokens.weight" not in sd and \
+                "decoder.embed_tokens.weight" in sd:
+            pre = "decoder."
+        embed = {"tokens": g(pre + "embed_tokens.weight"),
+                 "positions": g(pre + "embed_positions.weight")}
+        if cfg.embed_proj_dim is not None:
+            embed["proj_in"] = lin_t(pre + "project_in.weight")
+            embed["proj_out"] = lin_t(pre + "project_out.weight")
+        blocks = []
+        for i in range(cfg.n_layers):
+            b = f"{pre}layers.{i}."
+            attn = {}
+            for ours, hf in (("wq", "q_proj"), ("wk", "k_proj"),
+                             ("wv", "v_proj"), ("wo", "out_proj")):
+                attn[ours] = lin_t(b + f"self_attn.{hf}.weight")
+                attn["b" + ours[1:]] = g(b + f"self_attn.{hf}.bias")
+            blocks.append({
+                "ln1": {"scale": g(b + "self_attn_layer_norm.weight"),
+                        "bias": g(b + "self_attn_layer_norm.bias")},
+                "ln2": {"scale": g(b + "final_layer_norm.weight"),
+                        "bias": g(b + "final_layer_norm.bias")},
+                "attn": attn,
+                "mlp": {"w1": lin_t(b + "fc1.weight"),
+                        "b1": g(b + "fc1.bias"),
+                        "w2": lin_t(b + "fc2.weight"),
+                        "b2": g(b + "fc2.bias")},
+            })
+        final_ln = None
+        if cfg.do_layer_norm_before:
+            final_ln = {"scale": g(pre + "final_layer_norm.weight"),
+                        "bias": g(pre + "final_layer_norm.bias")}
+        params = {"embed": embed, "final_ln": final_ln}
+    elif fam == "llama":
+        pre = "model."
+        embed = {"tokens": g(pre + "embed_tokens.weight")}
+        blocks = []
+        for i in range(cfg.n_layers):
+            b = f"{pre}layers.{i}."
+            blocks.append({
+                "ln1": {"scale": g(b + "input_layernorm.weight")},
+                "ln2": {"scale": g(b + "post_attention_layernorm.weight")},
+                "attn": {
+                    "wq": lin_t(b + "self_attn.q_proj.weight"),
+                    "wk": lin_t(b + "self_attn.k_proj.weight"),
+                    "wv": lin_t(b + "self_attn.v_proj.weight"),
+                    "wo": lin_t(b + "self_attn.o_proj.weight"),
+                },
+                "mlp": {"wg": lin_t(b + "mlp.gate_proj.weight"),
+                        "wu": lin_t(b + "mlp.up_proj.weight"),
+                        "wd": lin_t(b + "mlp.down_proj.weight")},
+            })
+        params = {
+            "embed": embed,
+            "final_ln": {"scale": g(pre + "norm.weight")},
+            "lm_head": lin_t("lm_head.weight"),
+        }
+    elif fam == "bloom":
+        pre = "transformer." if "transformer.word_embeddings.weight" in sd \
+            else ""
+        embed = {
+            "tokens": g(pre + "word_embeddings.weight"),
+            "ln": {"scale": g(pre + "word_embeddings_layernorm.weight"),
+                   "bias": g(pre + "word_embeddings_layernorm.bias")},
+        }
+        blocks = []
+        for i in range(cfg.n_layers):
+            b = f"{pre}h.{i}."
+            # fused QKV layout: (H, 3, hd, D) on the output axis
+            qkv_w = np.asarray(sd[b + "self_attention.query_key_value.weight"])
+            qkv_b = np.asarray(sd[b + "self_attention.query_key_value.bias"])
+            qkv_w = qkv_w.reshape(H, 3, hd, D)
+            qkv_b = qkv_b.reshape(H, 3, hd)
+
+            def take(j):
+                w = qkv_w[:, j].reshape(H * hd, D).T      # (in, out)
+                bb = qkv_b[:, j].reshape(H * hd)
+                return (jnp.asarray(w, dtype), jnp.asarray(bb, dtype))
+
+            (wq, bq), (wk, bk), (wv, bv) = take(0), take(1), take(2)
+            blocks.append({
+                "ln1": {"scale": g(b + "input_layernorm.weight"),
+                        "bias": g(b + "input_layernorm.bias")},
+                "ln2": {"scale": g(b + "post_attention_layernorm.weight"),
+                        "bias": g(b + "post_attention_layernorm.bias")},
+                "attn": {"wq": wq, "bq": bq, "wk": wk, "bk": bk,
+                         "wv": wv, "bv": bv,
+                         "wo": lin_t(b + "self_attention.dense.weight"),
+                         "bo": g(b + "self_attention.dense.bias")},
+                "mlp": {"w1": lin_t(b + "mlp.dense_h_to_4h.weight"),
+                        "b1": g(b + "mlp.dense_h_to_4h.bias"),
+                        "w2": lin_t(b + "mlp.dense_4h_to_h.weight"),
+                        "b2": g(b + "mlp.dense_4h_to_h.bias")},
+            })
+        params = {
+            "embed": embed,
+            "final_ln": {"scale": g(pre + "ln_f.weight"),
+                         "bias": g(pre + "ln_f.bias")},
+        }
+    else:
+        raise ValueError(fam)
+
+    import jax
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return params
+
+
+def load_hf_params(path_or_name: str, cfg: ModelConfig | None = None,
+                   dtype=None):
+    """Load from a local checkpoint dir (or transformers cache)."""
+    if cfg is None:
+        cfg = get_config(path_or_name)
+    if os.path.isdir(path_or_name):
+        sd = dict(_iter_state_dict(path_or_name))
+    else:
+        from huggingface_hub import snapshot_download
+
+        path = snapshot_download(path_or_name,
+                                 allow_patterns=["*.safetensors", "*.bin",
+                                                 "*.json"])
+        sd = dict(_iter_state_dict(path))
+    return state_dict_to_params(sd, cfg, dtype), cfg

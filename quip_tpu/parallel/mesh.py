@@ -1,0 +1,147 @@
+"""Device mesh + GSPMD sharding rules.
+
+The reference has no distributed backend at all (SURVEY.md §2.6: multi-GPU is
+blocking `.to(dev)` pipeline hops, opt.py:384-428). This module is the
+TPU-native replacement: one `jax.sharding.Mesh` spanning ICI ('tp' axis) and
+data ('dp' axis), with `NamedSharding` rules for every param/activation;
+XLA emits the collectives under jit (GSPMD).
+
+Axes:
+  dp — data parallel: calibration batches, eval windows, serving batch.
+  tp — tensor parallel: linear out/in features, KV-cache heads, packed
+       weight planes (the packed word axis is fan-in/codes-per-word, so a
+       row-sharded packed linear shards its words axis).
+
+Multi-host: call `init_distributed()` (jax.distributed.initialize) before
+mesh construction; the same rules then span DCN+ICI.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quip_tpu.models.config import ModelConfig
+from quip_tpu.pack.format import PackedLinear
+
+
+def init_distributed(**kw) -> None:
+    """Multi-host process-group init (no-op if single-process)."""
+    try:
+        jax.distributed.initialize(**kw)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(dp: int = 1, tp: Optional[int] = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp <= n, f"dp*tp={dp * tp} > {n} devices"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules
+# ---------------------------------------------------------------------------
+
+# Megatron-style TP: column-parallel (shard out features) for q/k/v/up/gate,
+# row-parallel (shard in features) for o/down. All-reduce after row-parallel
+# matmuls is emitted automatically by GSPMD from these annotations.
+_COL_PARALLEL = {"wq", "wk", "wv", "w1", "wg", "wu"}
+_ROW_PARALLEL = {"wo", "w2", "wd"}
+_COL_BIAS = {"bq", "bk", "bv", "b1"}
+
+
+def _spec_for_dense(name: str, ndim: int) -> P:
+    # block leaves always carry the stacked-layers axis first:
+    # weights are (layers, in, out), biases/norm scales are (layers, feat)
+    if name in _COL_PARALLEL and ndim == 3:
+        return P(None, None, "tp")
+    if name in _ROW_PARALLEL and ndim == 3:
+        return P(None, "tp", None)
+    if name in _COL_BIAS and ndim == 2:
+        return P(None, "tp")
+    return P()  # replicate (norms, biases of row-parallel outputs)
+
+
+def _packed_linear_spec(name: str, q: PackedLinear) -> PackedLinear:
+    """PartitionSpecs for the children of a PackedLinear (same pytree
+    shape). Column-parallel shards the out-features (m) axis of the planes;
+    row-parallel shards the packed-words (fan-in) axis."""
+    if name in _COL_PARALLEL:
+        plane = P(None, "tp", None)
+        scale = P(None, "tp", None)
+        svec = P()
+    elif name in _ROW_PARALLEL:
+        plane = P(None, None, "tp")
+        scale = P()
+        svec = P(None, "tp")     # scaleWH spans fan-in
+    else:
+        plane = P()
+        scale = P()
+        svec = P()
+    return PackedLinear(
+        tuple(plane for _ in q.planes),
+        scale if q.scale is not None else None,
+        scale if q.zero is not None else None,
+        P() if q.scale_b is not None else None,
+        svec if q.scaleWH is not None else None,
+        P() if q.proj_key is not None else None,
+        P(None, "tp") if q.bias is not None else None,
+        bits=q.bits, qfn=q.qfn, proj_mode=q.proj_mode,
+        out_features=q.out_features, in_features=q.in_features,
+    )
+
+
+def param_specs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
+    """PartitionSpec tree matching the param tree (dense or packed).
+
+    Note: packed linears with incoherence rotations (proj_key set) need the
+    full activation vector for the butterfly; GSPMD will insert the gathers.
+    Embeddings and norms are replicated.
+    """
+
+    def walk(tree, path):
+        if isinstance(tree, PackedLinear):
+            return _packed_linear_spec(path[-1], tree)
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if tree is None:
+            return None
+        name = path[-1] if path else ""
+        if path and path[0] == "blocks":
+            return _spec_for_dense(name, np.ndim(tree))
+        return P()  # embed tables, final LN, lm_head: replicated
+
+    return walk(params, ())
+
+
+def shard_params(params: Dict[str, Any], cfg: ModelConfig,
+                 mesh: Mesh) -> Dict[str, Any]:
+    """Place a param tree onto the mesh according to param_specs."""
+    specs = param_specs(params, cfg)
+
+    def place(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, specs,
+                        is_leaf=lambda x: x is None)
+
+
+def data_spec() -> P:
+    """Batch-sharded activations/tokens."""
+    return P("dp")
+
+
+def cache_specs(cfg: ModelConfig) -> P:
+    """KV cache: (layers, batch, len, kv_heads, hd) — shard batch over dp
+    and heads over tp (when kv_heads divides tp)."""
+    return P(None, "dp", None, "tp", None)

@@ -1,0 +1,285 @@
+"""Serving engine: continuous-batching decode over (packed) models.
+
+The reference's only "serving" artifact is a commented-out single-token
+benchmark loop (/root/reference/llama.py:418-471, opt.py:431-482). This
+module is the real thing, TPU-first:
+
+  * slot-based continuous batching: a fixed (max_batch, max_seq) KV-cache
+    arena; requests claim slots, finished requests free them — the decode
+    step always runs at one compiled shape.
+  * jitted prefill (full-sequence, fills a slot's cache) and jitted batched
+    decode step (one token for every active slot).
+  * per-slot positions/lengths as device arrays; sampling = greedy /
+    temperature / top-k, PRNG-keyed.
+  * works for dense bf16 and packed-2/3/4-bit param trees alike (the model
+    dispatches per leaf); mesh sharding via parallel/mesh.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from quip_tpu.models import model as M
+from quip_tpu.models.config import ModelConfig
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray                 # (plen,) int32
+    max_new_tokens: int = 32
+    temperature: float = 0.0           # 0 => greedy
+    top_k: int = 0                     # 0 => full
+    # filled during generation
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class BatchedKV:
+    """(layers, max_batch, max_seq, kv_heads, hd) slot arena with per-slot
+    lengths."""
+
+    def __init__(self, cfg: ModelConfig, max_batch: int, max_seq: int,
+                 dtype=jnp.float32):
+        shape = (cfg.n_layers, max_batch, max_seq, cfg.kv_heads, cfg.hd)
+        self.k = jnp.zeros(shape, dtype)
+        self.v = jnp.zeros(shape, dtype)
+        self.lengths = jnp.zeros((max_batch,), jnp.int32)
+
+
+def _slot_attention_step(params, cfg, tokens, lengths, k_arena, v_arena):
+    """One decode token for every slot. tokens (B, 1); lengths (B,).
+
+    Returns (logits (B, V), new k/v arenas). Inactive slots (length 0) still
+    compute but their outputs are ignored by the host loop.
+    """
+    B = tokens.shape[0]
+    positions = lengths[:, None]                      # (B, 1)
+    Lmax = k_arena.shape[2]
+    key_pos = jnp.arange(Lmax)[None, None, :]
+    mask = key_pos <= positions[:, :, None]           # (B, 1, L)
+
+    x = M.embed(params, tokens, cfg, positions)
+
+    def body(carry, layer):
+        x = carry
+        layer_params, k_l, v_l = layer
+        # manual per-slot cache update at each slot's own length
+        h = (M.norm(layer_params["ln1"], x, cfg)
+             if cfg.do_layer_norm_before else x)
+        a, knew, vnew = _attn_steps(layer_params["attn"], h, cfg, positions,
+                                    mask, k_l, v_l, lengths)
+        x = x + a
+        if not cfg.do_layer_norm_before:
+            x = M.norm(layer_params["ln1"], x, cfg)
+        res = x
+        h = (M.norm(layer_params["ln2"], x, cfg)
+             if cfg.do_layer_norm_before else x)
+        m = M.mlp(layer_params["mlp"], h, cfg)
+        x = res + m
+        if not cfg.do_layer_norm_before:
+            x = M.norm(layer_params["ln2"], x, cfg)
+        return x, (knew, vnew)
+
+    x, (knew, vnew) = lax.scan(body, x, (params["blocks"], k_arena, v_arena))
+    logits = M.unembed(params, x, cfg)
+    return logits[:, -1, :], knew, vnew
+
+
+def _attn_steps(p, x, cfg, positions, mask, k_arena, v_arena, lengths):
+    """Attention for a (B, 1) step against per-slot caches.
+
+    k_arena/v_arena: (B, L, KV, hd). Each slot writes its new K/V at its own
+    length (vmapped dynamic_update_slice — the TPU version of paged-attention
+    row updates).
+    """
+    from quip_tpu.ops.qlinear import linear_apply
+
+    B, S, D = x.shape
+    H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    q = linear_apply(p["wq"], x) + p.get("bq", 0.0)
+    k = linear_apply(p["wk"], x) + p.get("bk", 0.0)
+    v = linear_apply(p["wv"], x) + p.get("bv", 0.0)
+    q = q.reshape(B, S, H, hd)
+    k = k.reshape(B, S, KV, hd)
+    v = v.reshape(B, S, KV, hd)
+
+    if cfg.positions == "rope":
+        cos, sin = M.rope_tables(cfg, positions)
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+
+    def upd(arena_b, new_b, ln):
+        zero = jnp.zeros((), ln.dtype)
+        return lax.dynamic_update_slice(
+            arena_b, new_b.astype(arena_b.dtype), (ln, zero, zero))
+
+    knew = jax.vmap(upd)(k_arena, k, lengths)
+    vnew = jax.vmap(upd)(v_arena, v, lengths)
+
+    k_all, v_all = knew, vnew
+    if KV != H:
+        rep = H // KV
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+    scale = 1.0 / float(np.sqrt(hd))
+    logits = jnp.einsum("bshd,blhd->bhsl", q, k_all) * scale
+    if cfg.positions == "alibi":
+        slopes = M.alibi_slopes(H).astype(logits.dtype)
+        key_pos = jnp.arange(k_all.shape[1])[None, None, None, :]
+        dist = positions[:, None, :, None].astype(logits.dtype) - key_pos
+        logits = logits - slopes[None, :, None, None] * dist
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    logits = jnp.where(mask[:, None, :, :], logits, neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+    out = jnp.einsum("bhsl,blhd->bshd", probs, v_all).reshape(B, S, H * hd)
+    out = linear_apply(p["wo"], out) + p.get("bo", 0.0)
+    return out, knew, vnew
+
+
+def _sample(key, logits, temperature, top_k: int = 0):
+    """Greedy / temperature / top-k sampling, vectorized over slots.
+
+    temperature: (B,) per-slot; <= 0 means greedy for that slot.
+    """
+    temperature = jnp.asarray(temperature, jnp.float32).reshape(-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    if top_k > 0:
+        vals, idxs = lax.top_k(logits, top_k)
+        gumbel = jax.random.gumbel(key, vals.shape)
+        choice = jnp.argmax(vals / t + gumbel, axis=-1)
+        sampled = jnp.take_along_axis(idxs, choice[:, None], 1)[:, 0]
+    else:
+        gumbel = jax.random.gumbel(key, logits.shape)
+        sampled = jnp.argmax(logits / t + gumbel, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+class Engine:
+    """Continuous-batching generation engine."""
+
+    def __init__(self, params: Dict[str, Any], cfg: ModelConfig, *,
+                 max_batch: int = 8, max_seq: int = 512,
+                 cache_dtype=jnp.float32, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_seq = max_seq
+        self.kv = BatchedKV(cfg, max_batch, max_seq, cache_dtype)
+        self.key = jax.random.PRNGKey(seed)
+        self._slots: List[Optional[Request]] = [None] * max_batch
+        self._queue: List[Request] = []
+        self._uid = 0
+
+        self._decode = jax.jit(
+            lambda params, tokens, lengths, k, v:
+            _slot_attention_step(params, cfg, tokens, lengths, k, v))
+
+        # prefill: run full prompt through the model once, capturing K/V
+        def prefill(params, tokens, k_arena, v_arena, slot):
+            B, S = tokens.shape
+            positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+            # keys live in the (max_seq)-long cache arena: causal w.r.t.
+            # absolute positions
+            key_pos = jnp.arange(self.max_seq)[None, None, :]
+            mask = key_pos <= positions[:, :, None]          # (B, S, max_seq)
+            x = M.embed(params, tokens, cfg, positions)
+
+            def body(x, layer):
+                layer_params, k_l, v_l = layer
+                cache = M.KVCache(
+                    jnp.zeros((B, self.max_seq, cfg.kv_heads, cfg.hd),
+                              k_arena.dtype),
+                    jnp.zeros((B, self.max_seq, cfg.kv_heads, cfg.hd),
+                              v_arena.dtype),
+                    jnp.zeros((), jnp.int32))
+                y, cache, _ = M.block_apply(layer_params, x, cfg, positions,
+                                            mask, cache)
+                zero = jnp.zeros((), slot.dtype)
+                kn = lax.dynamic_update_slice(
+                    k_l, cache.k[0][None], (slot, zero, zero, zero))
+                vn = lax.dynamic_update_slice(
+                    v_l, cache.v[0][None], (slot, zero, zero, zero))
+                return y, (kn, vn)
+
+            x, (knew, vnew) = lax.scan(
+                body, x, (params["blocks"], k_arena, v_arena))
+            logits = M.unembed(params, x, cfg)
+            return logits[:, -1, :], knew, vnew
+
+        self._prefill = jax.jit(prefill)
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens=32, temperature=0.0,
+               top_k=0) -> int:
+        req = Request(self._uid, np.asarray(prompt, np.int32),
+                      max_new_tokens, temperature, top_k)
+        self._uid += 1
+        self._queue.append(req)
+        return req.uid
+
+    def _admit(self):
+        for i in range(self.max_batch):
+            if self._slots[i] is None and self._queue:
+                req = self._queue.pop(0)
+                self._slots[i] = req
+                tokens = jnp.asarray(req.prompt[None, :], jnp.int32)
+                logits, self.kv.k, self.kv.v = self._prefill(
+                    self.params, tokens, self.kv.k, self.kv.v,
+                    jnp.asarray(i, jnp.int32))
+                self.kv.lengths = self.kv.lengths.at[i].set(
+                    len(req.prompt))
+                # first generated token comes from the prefill logits
+                self.key, sk = jax.random.split(self.key)
+                tok = int(_sample(sk, logits,
+                                  jnp.asarray([req.temperature]),
+                                  req.top_k)[0])
+                req.generated.append(tok)
+
+    def step(self) -> None:
+        """One continuous-batching iteration: admit, decode one token for
+        all active slots, retire finished requests."""
+        self._admit()
+        active = [i for i, r in enumerate(self._slots) if r is not None]
+        if not active:
+            return
+        last = np.zeros((self.max_batch, 1), np.int32)
+        for i in active:
+            last[i, 0] = self._slots[i].generated[-1]
+        logits, self.kv.k, self.kv.v = self._decode(
+            self.params, jnp.asarray(last), self.kv.lengths,
+            self.kv.k, self.kv.v)
+        self.key, sk = jax.random.split(self.key)
+        temps = np.zeros((self.max_batch,), np.float32)
+        for i in active:
+            temps[i] = self._slots[i].temperature
+        toks = np.asarray(_sample(sk, logits, jnp.asarray(temps)))
+        newlen = np.array(self.kv.lengths)   # mutable host copy
+        for i in active:
+            req = self._slots[i]
+            req.generated.append(int(toks[i]))
+            newlen[i] += 1
+            if (len(req.generated) >= req.max_new_tokens + 1
+                    or newlen[i] >= self.max_seq - 1):
+                req.done = True
+                self._slots[i] = None
+                newlen[i] = 0
+        self.kv.lengths = jnp.asarray(newlen)
+
+    def run(self, requests: List[Dict], progress=False) -> List[Request]:
+        """Submit all, drive steps until done, return completed requests."""
+        uids = [self.submit(**r) for r in requests]
+        # keep handles: requests leave the slot table when retired
+        all_reqs = {r.uid: r for r in self._queue}
+        while any(s is not None for s in self._slots) or self._queue:
+            self.step()
+        return [all_reqs[uid] for uid in uids]

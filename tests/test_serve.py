@@ -1,0 +1,152 @@
+"""Serving engine + mesh sharding tests (8 virtual CPU devices)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quip_tpu.models import get_config
+from quip_tpu.models import model as M
+from quip_tpu.serve.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _greedy_reference(params, cfg, prompt, n_new):
+    """Straight-line greedy generation via full forward re-runs."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = M.forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+def test_engine_greedy_matches_reference(tiny_model):
+    cfg, params = tiny_model
+    prompt = [1, 2, 3, 4, 5]
+    n_new = 6
+    eng = Engine(params, cfg, max_batch=2, max_seq=64)
+    [req] = eng.run([dict(prompt=prompt, max_new_tokens=n_new)])
+    want = _greedy_reference(params, cfg, prompt, n_new)
+    assert req.generated[:n_new] == want
+
+
+def test_engine_continuous_batching(tiny_model):
+    """More requests than slots; all must complete and match the
+    single-request result."""
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=2, max_seq=64)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+    reqs = eng.run([dict(prompt=p, max_new_tokens=4) for p in prompts])
+    assert len(reqs) == 4
+    assert all(len(r.generated) >= 4 for r in reqs)
+    for p, r in zip(prompts, reqs):
+        want = _greedy_reference(params, cfg, p, 4)
+        assert r.generated[:4] == want, (p, r.generated, want)
+
+
+def test_engine_sampling_reproducible(tiny_model):
+    cfg, params = tiny_model
+    a = Engine(params, cfg, max_batch=1, max_seq=64, seed=7)
+    b = Engine(params, cfg, max_batch=1, max_seq=64, seed=7)
+    [ra] = a.run([dict(prompt=[3, 1], max_new_tokens=5, temperature=1.0)])
+    [rb] = b.run([dict(prompt=[3, 1], max_new_tokens=5, temperature=1.0)])
+    assert ra.generated == rb.generated
+
+
+def test_engine_packed_model(tiny_model):
+    """Engine over a packed 2-bit model produces the same tokens as the
+    dense-dequantized quantized model."""
+    from quip_tpu.pack.model import pack_quantized_model
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qparams, art = quantize_model(params, cfg, calib,
+                                  QuantConfig.incoherence(2, "ldlq"),
+                                  jax.random.key(1), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+    e_dense = Engine(qparams, cfg, max_batch=1, max_seq=64)
+    e_pack = Engine(packed, cfg, max_batch=1, max_seq=64)
+    [rd] = e_dense.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
+    [rp] = e_pack.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
+    assert rd.generated == rp.generated
+
+
+# ---------------------------------------------------------------------------
+# Mesh / sharding (the multi-chip story, on 8 virtual CPU devices)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_sharded_forward(tiny_model):
+    from quip_tpu.parallel.mesh import make_mesh, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, params = tiny_model
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = shard_params(params, cfg, mesh)
+    # column-parallel weight is actually sharded over tp
+    wq = sharded["blocks"]["attn"]["wq"]
+    assert not wq.sharding.is_fully_replicated
+    tokens = jax.device_put(
+        jnp.ones((4, 16), jnp.int32),
+        NamedSharding(mesh, P("dp")))
+
+    fwd = jax.jit(lambda p, t: M.forward(p, t, cfg))
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") \
+            else mesh:
+        logits = fwd(sharded, tokens)
+    want = M.forward(params, jnp.ones((4, 16), jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               atol=1e-4)
+
+
+def test_mesh_sharded_hessian_psum(tiny_model):
+    """Data-parallel Hessian accumulation: per-shard xᵀx psummed over dp
+    equals the global xᵀx (SURVEY.md §2.6)."""
+    from quip_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, _ = tiny_model
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((16, 32)).astype(np.float32)
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P("dp", None)))
+
+    @jax.jit
+    def acc(x):
+        return x.T @ x     # GSPMD turns this into partial xᵀx + psum
+
+    H = np.asarray(acc(Xs))
+    np.testing.assert_allclose(H, X.T @ X, atol=1e-4)
+
+
+def test_packed_params_shard(tiny_model):
+    """Packed trees shard too (planes split over tp)."""
+    from quip_tpu.pack.model import pack_quantized_model
+    from quip_tpu.parallel.mesh import make_mesh, shard_params
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qparams, art = quantize_model(params, cfg, calib,
+                                  QuantConfig.incoherence(2, "ldlq"),
+                                  jax.random.key(1), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+    mesh = make_mesh(dp=1, tp=2)
+    sharded = shard_params(packed, cfg, mesh)
+    wq = sharded["blocks"]["attn"]["wq"]
+    assert not wq.planes[0].sharding.is_fully_replicated
+    tokens = jnp.ones((1, 8), jnp.int32)
+    logits = jax.jit(lambda p, t: M.forward(p, t, cfg))(sharded, tokens)
+    want = M.forward(packed, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               atol=1e-4)

@@ -1,0 +1,153 @@
+"""Zero-shot harness tests: offline synthetic docs through the full
+evaluator stack with a tiny model (SURVEY.md §4g)."""
+import numpy as np
+import jax
+import pytest
+
+from quip_tpu.eval.zeroshot import (TASK_REGISTRY, evaluate, get_task_dict,
+                                    make_table, simple_evaluate)
+from quip_tpu.eval.zeroshot.lm import (ByteTokenizer, JaxLM,
+                                       get_rolling_token_windows,
+                                       make_disjoint_window)
+from quip_tpu.eval.zeroshot import metrics
+from quip_tpu.models import get_config
+from quip_tpu.models import model as M
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    return JaxLM(params, cfg, ByteTokenizer(cfg.vocab_size), batch_size=4,
+                 max_length=128)
+
+
+def _piqa_docs(n=6):
+    return {"train": [
+        {"goal": f"do thing {i}", "sol1": f"answer A {i}",
+         "sol2": f"answer B {i}", "label": i % 2} for i in range(n)
+    ], "validation": [
+        {"goal": f"do val {i}", "sol1": f"val A {i}",
+         "sol2": f"val B {i}", "label": i % 2} for i in range(n)
+    ]}
+
+
+def test_registry_complete():
+    # the reference registry has exactly these 13 tasks
+    # (zeroShot/tasks/__init__.py:17-31)
+    want = {"lambada", "piqa", "arc_easy", "arc_challenge", "boolq", "cb",
+            "copa", "wic", "multirc", "rte", "record", "wsc", "storycloze"}
+    assert set(TASK_REGISTRY) == want
+
+
+def test_piqa_end_to_end(tiny_lm):
+    tasks = get_task_dict(["piqa"], datasets={"piqa": _piqa_docs()})
+    out = simple_evaluate(tiny_lm, tasks, num_fewshot=0, limit=4,
+                          bootstrap_iters=10)
+    res = out["results"]["piqa"]
+    assert 0.0 <= res["acc"] <= 1.0
+    assert 0.0 <= res["acc_norm"] <= 1.0
+    assert "acc_stderr" in res
+    table = make_table(out)
+    assert "piqa" in table
+
+
+def test_fewshot_context(tiny_lm):
+    import random
+    tasks = get_task_dict(["piqa"], datasets={"piqa": _piqa_docs()})
+    task = tasks["piqa"]
+    doc = list(task.validation_docs())[0]
+    ctx = task.fewshot_context(doc, num_fewshot=2, rnd=random.Random(0))
+    # two labeled examples + the query
+    assert ctx.count("Question:") == 3
+    assert ctx.count("Answer:") == 3
+    assert ctx.endswith("Answer:")
+
+
+def test_boolq_style_task(tiny_lm):
+    docs = {"train": [], "validation": [
+        {"passage": f"passage {i}", "question": f"is it {i}",
+         "label": i % 2} for i in range(4)
+    ]}
+    tasks = get_task_dict(["boolq"], datasets={"boolq": docs})
+    out = simple_evaluate(tiny_lm, tasks, limit=4, bootstrap_iters=0)
+    assert 0.0 <= out["results"]["boolq"]["acc"] <= 1.0
+
+
+def test_lambada_style_task(tiny_lm):
+    docs = {"validation": [], "test": [
+        {"text": f"some words lead to token{i}"} for i in range(4)
+    ]}
+    tasks = get_task_dict(["lambada"], datasets={"lambada": docs})
+    out = simple_evaluate(tiny_lm, tasks, limit=4, bootstrap_iters=0)
+    res = out["results"]["lambada"]
+    assert res["ppl"] > 0 and 0 <= res["acc"] <= 1
+
+
+def test_multirc_acc_all(tiny_lm):
+    docs = {"train": [], "validation": [
+        {"paragraph": "p", "question": f"q{i // 2}",
+         "answer": f"a{i}", "label": i % 2,
+         "idx": {"paragraph": 0, "question": i // 2}} for i in range(4)
+    ]}
+    tasks = get_task_dict(["multirc"], datasets={"multirc": docs})
+    out = simple_evaluate(tiny_lm, tasks, limit=4, bootstrap_iters=0)
+    assert 0.0 <= out["results"]["multirc"]["acc"] <= 1.0
+
+
+def test_loglikelihood_semantics(tiny_lm):
+    """Additivity: ll(ctx, a+b) == ll(ctx, a) + ll(ctx+a, b) (within fp)."""
+    ctx = "hello world"
+    [(ll_ab, _)] = tiny_lm.loglikelihood([(ctx, " foo bar")])
+    [(ll_a, _)] = tiny_lm.loglikelihood([(ctx, " foo")])
+    [(ll_b, _)] = tiny_lm.loglikelihood([(ctx + " foo", " bar")])
+    np.testing.assert_allclose(ll_ab, ll_a + ll_b, rtol=1e-3, atol=1e-3)
+
+
+def test_loglikelihood_ordering_stable(tiny_lm):
+    """Reorderer must restore original order."""
+    reqs = [("a", " x"), ("much longer context here", " yy"), ("b", " zzz")]
+    out1 = tiny_lm.loglikelihood(reqs)
+    out2 = [tiny_lm.loglikelihood([r])[0] for r in reqs]
+    for (a, ga), (b, gb) in zip(out1, out2):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+        assert ga == gb
+
+
+def test_rolling_windows():
+    """Port of the reference rolling-window semantics
+    (models_utils.py:480-520)."""
+    toks = list(range(10))
+    wins = list(get_rolling_token_windows(toks, prefix_token=-1,
+                                          max_seq_len=4, context_len=1))
+    # all tokens predicted exactly once
+    predicted = [t for _, pred in wins for t in pred]
+    assert predicted == toks
+    # first window conditions on the prefix token
+    assert wins[0][0][0] == -1
+    disjoint = [make_disjoint_window(w) for w in wins]
+    for inp, pred in disjoint:
+        assert len(inp) + len(pred) - 1 <= 4 + 1
+
+
+def test_loglikelihood_rolling_matches_sum(tiny_lm):
+    s = "abcdefgh" * 4
+    [total] = tiny_lm.loglikelihood_rolling([(s,)])
+    assert np.isfinite(total) and total < 0
+
+
+def test_metrics():
+    assert metrics.mean([1, 2, 3]) == 2
+    assert abs(metrics.perplexity([-1.0, -1.0]) - np.e) < 1e-9
+    assert metrics.f1_score([(1, 1), (1, 1), (0, 0)]) == 1.0
+    assert metrics.matthews_corrcoef([(1, 1), (0, 0), (1, 1), (0, 0)]) == 1.0
+    assert metrics.squad_em("The Cat", "cat") == 1.0
+    assert 0 < metrics.squad_f1("a b c", "a b d") < 1
+    se = metrics.bootstrap_stderr(metrics.mean, [1.0, 2.0, 3.0, 4.0],
+                                  iters=50)
+    assert 0 < se < 2
+
+
+def test_greedy_until(tiny_lm):
+    outs = tiny_lm.greedy_until([("ab", ["\n"])], max_gen_toks=4)
+    assert len(outs) == 1 and isinstance(outs[0], str)
