@@ -56,7 +56,12 @@ def add_quant_args(p: argparse.ArgumentParser):
     p.add_argument("--pre_proj_extra", type=int, default=1,
                    choices=[0, 1, 2],
                    help="butterfly mode: 0=block 1=noblock 2=nopermute "
-                        "(method.py:125-135)")
+                        "(method.py:125-135); overridden by --proj_mode")
+    p.add_argument("--proj_mode", type=str, default=None,
+                   choices=["block", "noblock", "nopermute", "rht"],
+                   help="rotation kind; 'rht' (default for "
+                        "--incoh_processing) is the permutation-free "
+                        "TPU-fast transform")
     p.add_argument("--incoh_processing", action="store_true",
                    help="meta-flag: pre_gptqH+pre_rescale+pre_proj+qfn=b "
                         "(opt.py:592-597)")
@@ -67,10 +72,14 @@ def add_quant_args(p: argparse.ArgumentParser):
 
 def quant_config_from_args(args) -> QuantConfig:
     if args.incoh_processing:
+        kw = {}
+        if args.proj_mode:
+            kw["proj_mode"] = args.proj_mode
         return QuantConfig.incoherence(
             wbits=args.wbits, method=args.quant, npasses=args.npasses,
-            unbiased=args.unbiased)
-    mode = {0: "block", 1: "noblock", 2: "nopermute"}[args.pre_proj_extra]
+            unbiased=args.unbiased, **kw)
+    mode = args.proj_mode or \
+        {0: "block", 1: "noblock", 2: "nopermute"}[args.pre_proj_extra]
     return QuantConfig(
         wbits=args.wbits, method=args.quant, npasses=args.npasses,
         unbiased=args.unbiased, qfn=args.qfn, groupsize=args.groupsize,

@@ -105,12 +105,19 @@ class PreprocState:
         scaleWH, proj_key = children
         return cls(scaleWH, proj_key, *aux)
 
-    def butterflies(self, dtype=jnp.float32) -> Tuple[inc.Butterfly, inc.Butterfly]:
+    def transforms(self, dtype=jnp.float32):
+        """(U, V) — Butterfly or RHT depending on proj_mode."""
         assert self.proj_key is not None
         ku, kv = jax.random.split(self.proj_key)
+        if self.proj_mode == "rht":
+            return (inc.gen_rht(ku, self.rows, dtype),
+                    inc.gen_rht(kv, self.cols, dtype))
         U = inc.gen_butterfly(ku, self.rows, self.proj_mode, dtype)
         V = inc.gen_butterfly(kv, self.cols, self.proj_mode, dtype)
         return U, V
+
+    # back-compat alias
+    butterflies = transforms
 
     def __repr__(self):
         return (f"PreprocState(rescale={self.scaleWH is not None}, "
@@ -141,11 +148,17 @@ def preproc_proj(W: jax.Array, H: jax.Array, key: jax.Array,
 
     H is trace-normalized and regularized first (method.py:173):
         H <- H * (d / (tr(H)+1e-8)) + 1e-2 I
-    then W -> U W Vᵀ, H -> V H Vᵀ with keyed butterflies.
+    then W -> U W Vᵀ, H -> V H Vᵀ with keyed transforms: random butterflies
+    (reference modes 'block'/'noblock'/'nopermute') or the permutation-free
+    randomized Hadamard/Kronecker transform ('rht' — TPU-fast at inference).
     """
     d = H.shape[0]
     H = H * (d / (jnp.trace(H) + 1e-8)) + 1e-2 * jnp.eye(d, dtype=H.dtype)
     ku, kv = jax.random.split(key)
+    if mode == "rht":
+        U = inc.gen_rht(ku, W.shape[0], dtype=W.dtype)
+        V = inc.gen_rht(kv, W.shape[1], dtype=W.dtype)
+        return inc.rht_rotate_weight(U, V, W), inc.rht_rotate_hessian(V, H)
     U = inc.gen_butterfly(ku, W.shape[0], mode, dtype=W.dtype)
     V = inc.gen_butterfly(kv, W.shape[1], mode, dtype=W.dtype)
     W = inc.rotate_weight(U, V, W)
@@ -203,9 +216,13 @@ def postproc(W: jax.Array, H: jax.Array, state: PreprocState):
     (The gptqH damping is intentionally not undone, matching the reference.)
     """
     if state.proj_key is not None:
-        U, V = state.butterflies(dtype=W.dtype)
-        W = inc.unrotate_weight(U, V, W)
-        H = inc.unrotate_hessian(V, H)
+        U, V = state.transforms(dtype=W.dtype)
+        if state.proj_mode == "rht":
+            W = inc.rht_unrotate_weight(U, V, W)
+            H = inc.rht_unrotate_hessian(V, H)
+        else:
+            W = inc.unrotate_weight(U, V, W)
+            H = inc.unrotate_hessian(V, H)
     if state.scaleWH is not None:
         s = state.scaleWH.astype(W.dtype)
         W = W / s[None, :]

@@ -84,8 +84,11 @@ def random_orthogonal(key: jax.Array, p: int, size: int,
     of a Gaussian with R-diagonal sign correction gives Haar on O(p); a
     column flip makes det = +1 (SO(p)), matching special_ortho_group.
     """
-    # QR (lapack / XLA) has no bf16 path: sample in >= f32, cast at the end
-    cdtype = jnp.promote_types(dtype, jnp.float32)
+    # ALWAYS sample in float32 and cast: the same key must yield bitwise
+    # identical rotations no matter the requested dtype, because the same
+    # butterfly is regenerated at quantize time (possibly f64), checkpoint
+    # load, and inference (bf16). (Also: QR has no bf16 kernel.)
+    cdtype = jnp.float32
     if p == 2:
         t = jax.random.uniform(key, (size,), dtype=cdtype) * (2 * math.pi)
         c, s = jnp.cos(t), jnp.sin(t)
@@ -183,8 +186,9 @@ def apply_butterfly(bf: Butterfly, x: jax.Array, axis: int = 0,
 
 
 def _inv_permute(x: jax.Array, perm: jax.Array) -> jax.Array:
-    """Apply the inverse of x -> x[perm] (i.e. scatter rows back)."""
-    return jnp.zeros_like(x).at[perm, :].set(x)
+    """Apply the inverse of x -> x[perm] as a *gather* with the inverse
+    index (TPU scatters are far slower than gathers)."""
+    return x[jnp.argsort(perm), :]
 
 
 def materialize(bf: Butterfly, dtype=jnp.float32) -> jax.Array:
@@ -196,6 +200,132 @@ def materialize(bf: Butterfly, dtype=jnp.float32) -> jax.Array:
 # Two-sided weight/Hessian rotations used by incoherence preprocessing
 # (method.py:175-176: w -> U w Vᵀ,  H -> V H Vᵀ)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Randomized Hadamard/Kronecker transform (RHT) — the permutation-free fast
+# incoherence path (the QuIP# improvement over QuIP's butterfly; public
+# algorithm, arXiv 2402.04396).
+#
+# T = (H_{2^k} ⊗ O_r) · diag(s), with H a normalized Hadamard, O_r a random
+# orthogonal for the odd part r of n = 2^k · r, and s random ±1 signs.
+# Orthogonal by construction; application is one elementwise multiply plus
+# two *small dense matmuls* on a (2^k, r) reshape — no gathers/scatters, so
+# it runs at MXU/VPU speed inside serving kernels (the butterfly's random
+# permutations cost ~50µs of gather per application on TPU).
+# ---------------------------------------------------------------------------
+
+
+class RHT(NamedTuple):
+    """Randomized Hadamard/Kronecker transform of dimension n = a * b."""
+
+    signs: jax.Array          # (n,) ±1
+    left: jax.Array           # (a, a) orthogonal (normalized Hadamard)
+    right: jax.Array | None   # (b, b) orthogonal, or None when b == 1
+    n: int
+
+    @property
+    def a(self) -> int:
+        return self.left.shape[0]
+
+    @property
+    def b(self) -> int:
+        return self.n // self.left.shape[0]
+
+
+def _hadamard(k: int, dtype=jnp.float32) -> jax.Array:
+    """Normalized H_{2^k} (orthogonal)."""
+    H = jnp.asarray([[1.0]], dtype)
+    base = jnp.asarray([[1.0, 1.0], [1.0, -1.0]], dtype)
+    for _ in range(k):
+        H = jnp.kron(base, H)
+    return H / jnp.sqrt(jnp.asarray(2.0**k, dtype))
+
+
+def _pow2_split(n: int) -> Tuple[int, int]:
+    """n = a * b with a = largest power-of-2 factor (split evenly when n is
+    itself a power of two, so both matmuls stay small)."""
+    k = 0
+    m = n
+    while m % 2 == 0:
+        m //= 2
+        k += 1
+    if m == 1:  # pure power of two: balance the Kronecker factors
+        ka = (k + 1) // 2
+        return 2**ka, 2 ** (k - ka)
+    return 2**k, m
+
+
+def gen_rht(key: jax.Array, n: int, dtype=jnp.float32) -> RHT:
+    """Keyed RHT; same key -> identical transform (checkpoints store keys)."""
+    a, b = _pow2_split(n)
+    ks, ko = jax.random.split(key)
+    signs = jnp.where(
+        jax.random.bernoulli(ks, 0.5, (n,)), 1.0, -1.0).astype(dtype)
+    k = int(math.log2(a))
+    left = _hadamard(k, dtype)
+    if b == 1:
+        right = None
+    elif b & (b - 1) == 0:  # power of two
+        right = _hadamard(int(math.log2(b)), dtype)
+    else:
+        right = random_orthogonal(ko, b, 1, dtype)[0]
+    return RHT(signs, left, right, n)
+
+
+def apply_rht(t: RHT, x: jax.Array, axis: int = 0,
+              transpose: bool = False) -> jax.Array:
+    """y = T x (or Tᵀ x) along ``axis``; Tᵀ is the exact inverse."""
+    orig_shape = x.shape
+    x = jnp.moveaxis(x, axis, -1)
+    lead = x.shape[:-1]
+    assert x.shape[-1] == t.n
+    a, b = t.a, t.b
+    L = t.left.astype(x.dtype)
+    R = t.right.astype(x.dtype) if t.right is not None else None
+    s = t.signs.astype(x.dtype)
+
+    if not transpose:
+        x = x * s
+        x = x.reshape(*lead, a, b)
+        x = jnp.einsum("pa,...ab->...pb", L, x)
+        if R is not None:
+            x = jnp.einsum("qb,...ab->...aq", R, x)
+        x = x.reshape(*lead, t.n)
+    else:
+        x = x.reshape(*lead, a, b)
+        x = jnp.einsum("pa,...pb->...ab", L, x)      # Lᵀ on the a axis
+        if R is not None:
+            x = jnp.einsum("qb,...aq->...ab", R, x)  # Rᵀ on the b axis
+        x = x.reshape(*lead, t.n)
+        x = x * s
+    x = jnp.moveaxis(x, -1, axis)
+    return x.reshape(orig_shape)
+
+
+def materialize_rht(t: RHT, dtype=jnp.float32) -> jax.Array:
+    return apply_rht(t, jnp.eye(t.n, dtype=dtype), axis=0)
+
+
+def rht_rotate_weight(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
+    """w -> U w Vᵀ."""
+    w = apply_rht(u, w, axis=0)
+    return apply_rht(v, w, axis=1)
+
+
+def rht_rotate_hessian(v: RHT, H: jax.Array) -> jax.Array:
+    H = apply_rht(v, H, axis=0)
+    return apply_rht(v, H, axis=1)
+
+
+def rht_unrotate_weight(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
+    w = apply_rht(u, w, axis=0, transpose=True)
+    return apply_rht(v, w, axis=1, transpose=True)
+
+
+def rht_unrotate_hessian(v: RHT, H: jax.Array) -> jax.Array:
+    H = apply_rht(v, H, axis=0, transpose=True)
+    return apply_rht(v, H, axis=1, transpose=True)
 
 
 def rotate_weight(u: Butterfly, v: Butterfly, w: jax.Array) -> jax.Array:

@@ -414,8 +414,9 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         return {"ln1": ln_p(), "ln2": ln_p(), "attn": ap, "mlp": mp}
 
     bkeys = jax.random.split(keys[4], cfg.n_layers)
-    blocks = [block_p(k) for k in bkeys]
-    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    # vmap generates the stacked-layer tree directly — building per-layer
+    # trees and stacking would transiently double HBM (fatal at 70B scale)
+    blocks = jax.vmap(block_p)(bkeys)
 
     params: Params = {"embed": embed_p, "blocks": blocks}
     # OPT-350m (do_layer_norm_before=False) has no final LN

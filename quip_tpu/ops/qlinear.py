@@ -60,12 +60,31 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
         x2 = x2 / q.scaleWH.astype(x2.dtype)[None, :]
 
     if q.proj_key is not None:
-        ku, kv = jax.random.split(q.proj_key)
-        U = inc.gen_butterfly(ku, q.out_features, q.proj_mode, x2.dtype)
-        V = inc.gen_butterfly(kv, q.in_features, q.proj_mode, x2.dtype)
-        x2 = inc.apply_butterfly(V, x2, axis=-1)          # x @ Vᵀ
-        t = _packed_matmul(q, x2, tile_m, use_kernel)     # @ Ŵ₂ᵀ
-        y = inc.apply_butterfly(U, t, axis=-1, transpose=True)  # @ U
+        if q.rot is not None:
+            from quip_tpu.pack.format import rot_to_butterflies
+            U, V = rot_to_butterflies(q, dtype=x2.dtype)
+        else:
+            # fallback: regenerate from the key. NOTE: inside a jitted hot
+            # loop this puts QR sampling on the device per call — always
+            # materialize `rot` for serving (pack_layer_result does).
+            ku, kv = jax.random.split(q.proj_key)
+            if q.proj_mode == "rht":
+                U = inc.gen_rht(ku, q.out_features, x2.dtype)
+                V = inc.gen_rht(kv, q.in_features, x2.dtype)
+            else:
+                U = inc.gen_butterfly(ku, q.out_features, q.proj_mode,
+                                      x2.dtype)
+                V = inc.gen_butterfly(kv, q.in_features, q.proj_mode,
+                                      x2.dtype)
+        if q.proj_mode == "rht":
+            x2 = inc.apply_rht(V, x2, axis=-1)            # x @ Vᵀ
+            t = _packed_matmul(q, x2, tile_m, use_kernel)
+            y = inc.apply_rht(U, t, axis=-1, transpose=True)  # @ U
+        else:
+            x2 = inc.apply_butterfly(V, x2, axis=-1)      # x @ Vᵀ
+            t = _packed_matmul(q, x2, tile_m, use_kernel)
+            y = inc.apply_butterfly(U, t, axis=-1,
+                                    transpose=True)       # @ U
     else:
         y = _packed_matmul(q, x2, tile_m, use_kernel)
 

@@ -87,7 +87,7 @@ class PackedLinear:
 
     def __init__(self, planes, scale, zero, scale_b, scaleWH, proj_key,
                  bias, *, bits: int, qfn: str, proj_mode: str,
-                 out_features: int, in_features: int):
+                 out_features: int, in_features: int, rot=None):
         self.planes = tuple(planes)
         self.scale = scale          # (m, 1) qfn-a scale or None
         self.zero = zero            # (m, 1) qfn-a zero or None
@@ -95,6 +95,13 @@ class PackedLinear:
         self.scaleWH = scaleWH      # (d,) diagonal rescale or None
         self.proj_key = proj_key    # PRNG key for U/V or None
         self.bias = bias            # (m,) or None
+        # rot: materialized butterfly components, built once at pack/load
+        # time from proj_key. Regenerating them inside a jitted forward would
+        # put ~2 QR decompositions per linear per step on the device — the
+        # dominant cost of the whole decode (observed 8x slowdown).
+        # Layout: {'u': (blocks_tuple, perm_in, perm_out), 'v': (...)}
+        # (perms may be None in 'nopermute' mode).
+        self.rot = rot
         self.bits = bits
         self.qfn = qfn
         self.proj_mode = proj_mode
@@ -104,18 +111,18 @@ class PackedLinear:
     # -- pytree protocol --
     def tree_flatten(self):
         children = (self.planes, self.scale, self.zero, self.scale_b,
-                    self.scaleWH, self.proj_key, self.bias)
+                    self.scaleWH, self.proj_key, self.bias, self.rot)
         aux = (self.bits, self.qfn, self.proj_mode, self.out_features,
                self.in_features)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        planes, scale, zero, scale_b, scaleWH, proj_key, bias = children
+        planes, scale, zero, scale_b, scaleWH, proj_key, bias, rot = children
         bits, qfn, proj_mode, m, d = aux
         return cls(planes, scale, zero, scale_b, scaleWH, proj_key, bias,
                    bits=bits, qfn=qfn, proj_mode=proj_mode,
-                   out_features=m, in_features=d)
+                   out_features=m, in_features=d, rot=rot)
 
     @property
     def maxq(self) -> float:
@@ -133,10 +140,22 @@ class PackedLinear:
         else:
             W = self.scale.astype(dtype) * (codes - self.zero.astype(dtype))
         if self.proj_key is not None:
-            ku, kv = jax.random.split(self.proj_key)
-            U = inc.gen_butterfly(ku, self.out_features, self.proj_mode, dtype)
-            V = inc.gen_butterfly(kv, self.in_features, self.proj_mode, dtype)
-            W = inc.unrotate_weight(U, V, W)
+            if self.rot is not None:
+                U, V = rot_to_butterflies(self, dtype=dtype)
+            elif self.proj_mode == "rht":
+                ku, kv = jax.random.split(self.proj_key)
+                U = inc.gen_rht(ku, self.out_features, dtype)
+                V = inc.gen_rht(kv, self.in_features, dtype)
+            else:
+                ku, kv = jax.random.split(self.proj_key)
+                U = inc.gen_butterfly(ku, self.out_features, self.proj_mode,
+                                      dtype)
+                V = inc.gen_butterfly(kv, self.in_features, self.proj_mode,
+                                      dtype)
+            if self.proj_mode == "rht":
+                W = inc.rht_unrotate_weight(U, V, W)
+            else:
+                W = inc.unrotate_weight(U, V, W)
         if self.scaleWH is not None:
             W = W / self.scaleWH.astype(dtype)[None, :]
         return W
@@ -145,6 +164,54 @@ class PackedLinear:
         return (f"PackedLinear({self.out_features}x{self.in_features}, "
                 f"{self.bits}-bit, qfn={self.qfn!r}, "
                 f"rot={self.proj_key is not None})")
+
+
+def materialize_rotation(proj_key, m: int, d: int, mode: str,
+                         dtype=jnp.float32):
+    """Build the runtime rotation components (small arrays) from the
+    checkpoint key — done once, outside any hot loop.
+
+    mode 'rht': {'u': (signs, left, right|()), 'v': ...} (permutation-free).
+    butterfly modes: {'u': (blocks, perm_in, perm_out), 'v': ...}.
+    """
+    from quip_tpu.core import incoherence as inc
+
+    if proj_key is None:
+        return None
+    ku, kv = jax.random.split(proj_key)
+    if mode == "rht":
+        U = inc.gen_rht(ku, m, dtype)
+        V = inc.gen_rht(kv, d, dtype)
+        return {
+            "u": (U.signs, U.left, () if U.right is None else U.right),
+            "v": (V.signs, V.left, () if V.right is None else V.right),
+        }
+    U = inc.gen_butterfly(ku, m, mode, dtype)
+    V = inc.gen_butterfly(kv, d, mode, dtype)
+    return {
+        "u": (U.blocks, U.perm_in, U.perm_out),
+        "v": (V.blocks, V.perm_in, V.perm_out),
+    }
+
+
+def rot_to_butterflies(q: "PackedLinear", dtype=None):
+    """Reconstruct (U, V) transform views over the stored arrays."""
+    from quip_tpu.core.incoherence import RHT, Butterfly
+
+    if q.proj_mode == "rht":
+        us, ul, ur = q.rot["u"]
+        vs, vl, vr = q.rot["v"]
+        ur = None if (isinstance(ur, tuple) and not ur) else ur
+        vr = None if (isinstance(vr, tuple) and not vr) else vr
+        return (RHT(us, ul, ur, q.out_features),
+                RHT(vs, vl, vr, q.in_features))
+    ub, upi, upo = q.rot["u"]
+    vb, vpi, vpo = q.rot["v"]
+    if dtype is not None:
+        ub = tuple(b.astype(dtype) for b in ub)
+        vb = tuple(b.astype(dtype) for b in vb)
+    return (Butterfly(tuple(ub), upi, upo, q.out_features),
+            Butterfly(tuple(vb), vpi, vpo, q.in_features))
 
 
 def pack_layer_result(res, bits: int,
@@ -168,4 +235,5 @@ def pack_layer_result(res, bits: int,
         proj_mode=st.proj_mode,
         out_features=m,
         in_features=d,
+        rot=materialize_rotation(st.proj_key, m, d, st.proj_mode),
     )

@@ -86,6 +86,10 @@ def _packed_linear_spec(name: str, q: PackedLinear) -> PackedLinear:
         plane = P()
         scale = P()
         svec = P()
+    rot_spec = None
+    if q.rot is not None:
+        # butterfly blocks/permutations are tiny: replicate
+        rot_spec = jax.tree.map(lambda _: P(), q.rot)
     return PackedLinear(
         tuple(plane for _ in q.planes),
         scale if q.scale is not None else None,
@@ -96,6 +100,7 @@ def _packed_linear_spec(name: str, q: PackedLinear) -> PackedLinear:
         P(None, "tp") if q.bias is not None else None,
         bits=q.bits, qfn=q.qfn, proj_mode=q.proj_mode,
         out_features=q.out_features, in_features=q.in_features,
+        rot=rot_spec,
     )
 
 

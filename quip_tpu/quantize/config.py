@@ -15,15 +15,28 @@ METHODS = ("ldlq", "ldlqRG", "allbal", "ldlbal_admm", "ldl_gptqequiv",
 QFNS = ("a", "b", "c")
 
 
+PROJ_MODES = ("block", "noblock", "nopermute", "rht")
+
+
 @dataclass(frozen=True)
 class PreprocConfig:
-    """Incoherence preprocessing flags (reference method.py:125-193)."""
+    """Incoherence preprocessing flags (reference method.py:125-193).
+
+    proj_mode: 'block'/'noblock'/'nopermute' are the reference's butterfly
+    variants (--pre_proj_extra 0/1/2); 'rht' is this framework's
+    permutation-free randomized Hadamard/Kronecker transform — same
+    incoherence guarantees, much faster at inference on TPU (no gathers).
+    """
 
     rescale: bool = False            # --pre_rescale
     proj: bool = False               # --pre_proj
-    proj_mode: str = "noblock"       # --pre_proj_extra {0: block, 1: noblock, 2: nopermute}
+    proj_mode: str = "rht"
     gptqH: bool = False              # --pre_gptqH
     percdamp: float = 0.01           # --percdamp
+
+    def __post_init__(self):
+        if self.proj_mode not in PROJ_MODES:
+            raise ValueError(f"unknown proj_mode {self.proj_mode!r}")
 
 
 @dataclass(frozen=True)
@@ -60,8 +73,9 @@ class QuantConfig:
         `args.pre_proj_extra` (a latent typo, opt.py:596) so the *effective*
         mode is the default 0 ('block' in our naming is extra=0; but
         method.py's docstring declares 1/'noblock' the intended default).
-        We use 'noblock' — the intended behavior — and expose proj_mode for
-        exact-quirk reproduction.
+        This framework defaults to 'rht' (permutation-free, TPU-fast, same
+        orthogonal-incoherence math); pass proj_mode='noblock'/'block'/
+        'nopermute' for exact reference-variant parity.
         """
         return QuantConfig(
             wbits=wbits,
@@ -69,6 +83,6 @@ class QuantConfig:
             npasses=npasses,
             qfn="b",
             preproc=PreprocConfig(rescale=True, proj=True, gptqH=True,
-                                  proj_mode=kw.pop("proj_mode", "noblock")),
+                                  proj_mode=kw.pop("proj_mode", "rht")),
             **kw,
         )
