@@ -52,6 +52,12 @@ def main(argv=None):
     pe.add_argument("--wbits", type=int, default=4)
     pe.add_argument("--seed", type=int, default=0)
 
+    pc = sub.add_parser("counter",
+                        help="finite-grid counterexample: rounder proxy "
+                             "losses on adversarial (W, H) "
+                             "(optq_counter.py:7-43)")
+    pc.add_argument("--sizes", type=str, default="256,512,1024,2048,4096")
+
     args = p.parse_args(argv)
 
     from quip_tpu import analysis
@@ -105,6 +111,27 @@ def main(argv=None):
         print(json.dumps(out, indent=2))
         assert out["frac_agree_1e6"] > 0.99, "LDLQ != OPTQ!"
         print("EQUIVALENCE OK")
+
+    elif args.cmd == "counter":
+        from quip_tpu.core import ldlq
+        for n in [int(s) for s in args.sizes.split(",")]:
+            # adversarial pairwise-coupled H on a 1-bit grid
+            H = np.eye(n)
+            for i in range(0, n - 1, 2):
+                H[i, i + 1] = H[i + 1, i] = 0.499
+            W = np.full((4, n), 0.499)
+            Wj = jnp.asarray(W)
+            Hj = jnp.asarray(H + 1e-3 * np.eye(n))
+            rows = {}
+            rows["ldlq"] = float(ldlq.hessian_loss(
+                ldlq.round_ldl(Wj, Hj, 1, 0) - Wj, Hj))
+            rows["ldlqRG"] = float(ldlq.hessian_loss(
+                ldlq.round_ldlqRG(Wj, Hj, 1, 0) - Wj, Hj))
+            rows["allbal(2)"] = float(ldlq.hessian_loss(
+                ldlq.round_allbal_sorted(Wj, Hj, 1, 2) - Wj, Hj))
+            rows["nearest"] = float(ldlq.hessian_loss(
+                ldlq.round_nearest(Wj, 1) - Wj, Hj))
+            print(json.dumps({"n": n, **rows}))
 
 
 if __name__ == "__main__":

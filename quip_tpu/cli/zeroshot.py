@@ -26,6 +26,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("quip_tpu.zeroshot")
     common.add_model_args(p)
     common.add_data_args(p)
+    common.add_quant_args(p)
     p.add_argument("--tasks", type=str, default="arc_easy",
                    help="comma list / globs over: " + ",".join(ALL_TASKS))
     p.add_argument("--load", type=str, default=None)
@@ -44,6 +45,16 @@ def main(argv=None):
         from quip_tpu.pack.model import load_checkpoint
         params, meta = load_checkpoint(args.load)
         print(f"loaded {meta}")
+    elif args.wbits < 16:
+        # quantize in place before eval (zeroShot/evaluator.py:42-53)
+        import jax
+        import jax.numpy as jnp
+        from quip_tpu.quantize.driver import quantize_model
+        (calib, _), _ = common.get_data(args, cfg)
+        qcfg = common.quant_config_from_args(args)
+        print(f"quantizing in place: {qcfg.method} w{qcfg.wbits}")
+        params, _ = quantize_model(params, cfg, jnp.asarray(calib), qcfg,
+                                   jax.random.key(args.seed), progress=True)
 
     from quip_tpu.eval.zeroshot.lm import JaxLM, ByteTokenizer, \
         load_hf_tokenizer

@@ -69,12 +69,18 @@ def gptq_round(
     qfn: str = "a",
     blocksize: int = 128,
     groupsize: int = -1,
+    sparse_outlier: float = 0.0,
 ) -> jax.Array:
     """OPTQ rounding. W (m, d) in the original weight domain; returns the
     quantized (still-dense) weights.
 
     groupsize != -1 re-derives grid params every ``groupsize`` columns from
     the *current* (error-fed) weights (gptq.py:70-74).
+
+    sparse_outlier > 0 enables the TrueOBS outlier escape hatch
+    (zeroShot/models/fast_trueobs.py:108, 134-139): entries whose squared
+    rounding error exceeds ``sparse_outlier * scale^2`` are kept at full
+    precision (a mixed sparse+quantized layer; the reference uses 0.25).
     """
     if groupsize != -1:
         return _gptq_round_grouped(W, H, grid, qfn, blocksize, groupsize)
@@ -102,6 +108,11 @@ def gptq_round(
             W1, Err1 = carry
             w = W1[:, i]
             q = _quantize_col(w, grid, qfn)
+            if sparse_outlier > 0:
+                # TrueOBS escape: keep fp weights with large rounding error
+                thresh = sparse_outlier * jnp.square(grid.scale[:, 0])
+                keep = jnp.square(w - q) > thresh
+                q = jnp.where(keep, w, q)
             dcoef = diagU_in[i]
             err = (w - q) / dcoef
             mask = (jnp.arange(B) >= i).astype(W1.dtype)

@@ -50,6 +50,9 @@ class QuantConfig:
     qfn: str = "a"                   # --qfn
     blocksize: int = 128             # lazy-batch block width (--lazy_batch)
     groupsize: int = -1              # GPTQ group size (--groupsize)
+    sparse_outlier: float = 0.0      # TrueOBS fp-outlier escape (0 = off;
+                                     # reference uses 0.25,
+                                     # fast_trueobs.py:108)
     preproc: PreprocConfig = dataclasses.field(default_factory=PreprocConfig)
     seed: int = 0
 

@@ -101,7 +101,8 @@ def quantize_layer(
             gp = GridParams(scale=jnp.ones((Wp.shape[0], 1), Wp.dtype),
                             zero=jnp.zeros((Wp.shape[0], 1), Wp.dtype),
                             maxq=maxq)
-        What_p = gptq_round(Wp, Hp, gp, cfg.qfn, cfg.blocksize, cfg.groupsize)
+        What_p = gptq_round(Wp, Hp, gp, cfg.qfn, cfg.blocksize, cfg.groupsize,
+                            sparse_outlier=cfg.sparse_outlier)
         if cfg.qfn in ("a", "c") and cfg.groupsize == -1:
             # recover integer codes from the grid for packing (the
             # reference's pack path does the same inversion, quant.py:190-191)
