@@ -150,3 +150,11 @@ def cache_specs(cfg: ModelConfig) -> P:
     """KV cache: (layers, batch, len, kv_heads, hd) — shard batch over dp
     and heads over tp (when kv_heads divides tp)."""
     return P(None, "dp", None, "tp", None)
+
+
+def seq_sharded_spec() -> P:
+    """Sequence-axis sharding for long-context prefill (SURVEY.md §5.7):
+    tokens (B, S) partitioned over 'dp' on the sequence axis; GSPMD inserts
+    the attention all-gathers. Use for prompts that exceed one chip's
+    activation memory."""
+    return P(None, "dp")

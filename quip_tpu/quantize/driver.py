@@ -18,6 +18,8 @@ TPU-first:
 """
 from __future__ import annotations
 
+import functools
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -92,6 +94,14 @@ def _make_block_fns(cfg: ModelConfig, seqlen: int, chunk: int):
     return accumulate, replay
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_quantize_layer(qcfg: QuantConfig):
+    """Per-config jitted quantize_layer; XLA caches one program per weight
+    shape, reused across all layers of the model (the reference re-runs
+    everything eagerly per layer)."""
+    return jax.jit(lambda W, H, k: quantize_layer(W, H, qcfg, k))
+
+
 def quantize_model(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -103,12 +113,24 @@ def quantize_model(
     keep_hessians: bool = False,
     layer_filter: Optional[List[str]] = None,
     progress: bool = False,
+    resume_dir: Optional[str] = None,
+    host_offload: bool = False,
 ) -> tuple[Dict[str, Any], QuantizedModelArtifacts]:
     """Quantize every linear in every block, layer-streaming.
 
     Returns (new params, artifacts). ``layer_filter``: optional list of
     linear names to quantize (the proxy-eval tool quantizes subsets,
     opt_proxy.py:227-236).
+
+    ``resume_dir``: per-layer resume (SURVEY.md §5.4 — no reference
+    counterpart): each finished block is written to
+    ``resume_dir/layer_{i}.npz``; re-running skips finished layers (the
+    block is reloaded and only replayed to rebuild activations).
+
+    ``host_offload``: keep the (possibly huge) stacked blocks in host
+    memory and move a single block to the device at a time — the TPU analog
+    of the reference's CPU↔GPU block streaming (opt.py:94-181), required to
+    quantize 70B on a small slice.
     """
     if qcfg.wbits >= 16:
         return params, QuantizedModelArtifacts()
@@ -117,16 +139,39 @@ def quantize_model(
     assert N % chunk == 0, f"nsamples {N} must be divisible by chunk {chunk}"
     specs = M.linear_specs(cfg)
     art = QuantizedModelArtifacts()
+    qlayer = _jitted_quantize_layer(qcfg)
 
     inps = _block_inputs(params, cfg, calib_tokens, chunk)
     accumulate, replay = _make_block_fns(cfg, S, chunk)
 
     blocks = params["blocks"]
+    if host_offload:
+        import numpy as _np
+        blocks = jax.tree.map(lambda x: _np.asarray(x), blocks)
     new_block_list = []
     n_layers = cfg.n_layers
 
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
+
     for li in range(n_layers):
-        layer_params = jax.tree.map(lambda x: x[li], blocks)
+        template = jax.tree.map(lambda x: jnp.asarray(x[li]), blocks) \
+            if resume_dir else None
+        resumed = _load_resume_layer(resume_dir, li, template)
+        if resumed is not None:
+            new_layer, saved_err = resumed
+            new_block_list.append(new_layer)
+            art.errors.update(saved_err)
+            outs = []
+            for i in range(0, N, chunk):
+                outs.append(replay(new_layer, inps[i:i + chunk]))
+            inps = jnp.concatenate(outs, axis=0)
+            if progress:
+                print(f"[quantize] layer {li + 1}/{n_layers} (resumed)",
+                      flush=True)
+            continue
+
+        layer_params = jax.tree.map(lambda x: jnp.asarray(x[li]), blocks)
         t0 = time.time()
 
         # --- pass 1: accumulate tap Hessians (opt.py:131-148) ---
@@ -157,7 +202,7 @@ def quantize_model(
             # model stores (in, out); solver wants (m=out, d=in)
             Wt = Wm.T
             lkey = jax.random.fold_in(key, hash(full_name) % (2**31))
-            res = quantize_layer(Wt, H[spec.tap], qcfg, lkey)
+            res = qlayer(Wt, H[spec.tap], lkey)
             What = res.W_hat.T.astype(Wm.dtype)
             new_layer = _set_path(new_layer, spec.path, What)
             art.results[full_name] = res
@@ -174,6 +219,10 @@ def quantize_model(
         inps = jnp.concatenate(outs, axis=0)
 
         new_block_list.append(new_layer)
+        if resume_dir:
+            _save_resume_layer(resume_dir, li, new_layer, {
+                k: v for k, v in art.errors.items()
+                if k.startswith(f"layers.{li}.")})
         if progress:
             err = sum(v for k, v in art.errors.items()
                       if k.startswith(f"layers.{li}."))
@@ -185,6 +234,40 @@ def quantize_model(
     new_params = dict(params)
     new_params["blocks"] = new_blocks
     return new_params, art
+
+
+def _resume_path(resume_dir: str, li: int) -> str:
+    return os.path.join(resume_dir, f"layer_{li}.npz")
+
+
+def _save_resume_layer(resume_dir: str, li: int, layer, errors) -> None:
+    import numpy as np
+
+    leaves, _ = jax.tree.flatten(layer)
+    np.savez(
+        _resume_path(resume_dir, li),
+        __errors__=np.asarray(list(errors.values()), np.float64),
+        __error_names__=np.asarray(list(errors.keys())),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+
+
+def _load_resume_layer(resume_dir, li, template):
+    """Load a finished layer against the live tree structure, or None."""
+    import numpy as np
+
+    if not resume_dir:
+        return None
+    path = _resume_path(resume_dir, li)
+    if not os.path.exists(path):
+        return None
+    data = np.load(path, allow_pickle=False)
+    n = len([k for k in data.files if k.startswith("leaf_")])
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    treedef = jax.tree.structure(template)
+    errors = dict(zip([str(s) for s in data["__error_names__"]],
+                      [float(x) for x in data["__errors__"]]))
+    return jax.tree.unflatten(treedef, leaves), errors
 
 
 def _set_path(tree, path, value):

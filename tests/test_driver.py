@@ -127,3 +127,24 @@ def test_llama_family_quantizes(tiny_setup):
     assert len(art.errors) == cfg.n_layers * len(M.linear_specs(cfg))
     ppl = perplexity(newp, cfg, stream[512:], 64)
     assert np.isfinite(ppl)
+
+
+def test_resume_and_host_offload(tiny_setup, tmp_path):
+    """Mid-quantization resume (SURVEY §5.4) + host-offload streaming:
+    a resumed run must produce identical weights to an uninterrupted one."""
+    cfg, params, calib, test, seqlen = tiny_setup
+    qcfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    rdir = str(tmp_path / "resume")
+
+    full, _ = quantize_model(params, cfg, calib, qcfg, jax.random.key(9),
+                             chunk=4)
+    first, _ = quantize_model(params, cfg, calib, qcfg, jax.random.key(9),
+                              chunk=4, resume_dir=rdir, host_offload=True)
+    # second run resumes every layer from disk
+    second, art2 = quantize_model(params, cfg, calib, qcfg,
+                                  jax.random.key(9), chunk=4,
+                                  resume_dir=rdir)
+    for a, b in zip(jax.tree.leaves(full["blocks"]),
+                    jax.tree.leaves(second["blocks"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(art2.errors) > 0   # errors restored from resume files

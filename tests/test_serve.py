@@ -150,3 +150,23 @@ def test_packed_params_shard(tiny_model):
     want = M.forward(packed, tokens, cfg)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
                                atol=1e-4)
+
+
+def test_sequence_sharded_prefill(tiny_model):
+    """Long-context prefill with the sequence axis sharded over the mesh
+    must match the unsharded forward (GSPMD inserts the attention
+    collectives)."""
+    from quip_tpu.parallel.mesh import make_mesh, seq_sharded_spec, \
+        shard_params
+    from jax.sharding import NamedSharding
+
+    cfg, params = tiny_model
+    mesh = make_mesh(dp=4, tp=2)
+    sharded = shard_params(params, cfg, mesh)
+    tokens = jnp.tile(jnp.arange(32, dtype=jnp.int32)[None], (2, 1))
+    tok_sharded = jax.device_put(
+        tokens, NamedSharding(mesh, seq_sharded_spec()))
+    logits = jax.jit(lambda p, t: M.forward(p, t, cfg))(sharded, tok_sharded)
+    want = M.forward(params, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               atol=1e-4)
