@@ -520,6 +520,16 @@ def hessian_loss(dW: jax.Array, H: jax.Array) -> jax.Array:
     return jnp.trace(dW @ H @ dW.T)
 
 
+def weight_entropy(Wr, bits: int) -> float:
+    """Average bits per weight of the empirical code distribution
+    (vector_balance.py:18-24 `calc_entropy`)."""
+    import numpy as np
+
+    vals, counts = np.unique(np.asarray(Wr), return_counts=True)
+    p = counts / counts.sum()
+    return float(-(p * np.log(p)).sum() / np.log(2.0))
+
+
 def check_nbits(Wr, bits: int) -> bool:
     """Debug helper: True iff the rounded weights use at most 2**bits values
     (vector_balance.py:8-11). Not jittable; call on concrete arrays."""

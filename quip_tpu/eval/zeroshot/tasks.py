@@ -144,11 +144,59 @@ class LAMBADA(Task):
 
 
 class StoryCloze(Task):
-    """zeroShot/tasks/storycloze.py:33-142 (local CSV, 2018 set)."""
+    """zeroShot/tasks/storycloze.py:33-142 (local CSV, 2018 set).
+
+    StoryCloze is not publicly downloadable; pass ``data_dir`` pointing at a
+    folder containing the ROCStories 2018 validation/test CSVs (the
+    reference vendors them under tasks/local_datasets/storyCloze2018)."""
 
     VERSION = 0
     DATASET_PATH = "story_cloze"
     DATASET_NAME = "2018"
+
+    _CSV_COLUMNS = ["input_sentence_1", "input_sentence_2",
+                    "input_sentence_3", "input_sentence_4",
+                    "sentence_quiz1", "sentence_quiz2",
+                    "answer_right_ending"]
+
+    def download(self, data_dir=None, cache_dir=None, download_mode=None,
+                 dataset=None):
+        if dataset is not None:
+            self.dataset = dataset
+            return
+        if data_dir is not None:
+            self.dataset = self._load_csv_dir(data_dir)
+            return
+        super().download(data_dir, cache_dir, download_mode, dataset)
+
+    @classmethod
+    def _load_csv_dir(cls, data_dir):
+        """Load ROCStories CSVs: columns InputSentence1..4, RandomFifthSentenceQuiz1/2, AnswerRightEnding."""
+        import csv
+        import glob
+        import os
+
+        out = {"validation": [], "test": []}
+        for path in glob.glob(os.path.join(data_dir, "*.csv")):
+            split = "test" if "test" in os.path.basename(path).lower() \
+                else "validation"
+            with open(path, newline="", encoding="utf-8") as f:
+                for row in csv.DictReader(f):
+                    def g(*names):
+                        for n in names:
+                            if n in row:
+                                return row[n]
+                        raise KeyError(names)
+                    out[split].append({
+                        "input_sentence_1": g("InputSentence1"),
+                        "input_sentence_2": g("InputSentence2"),
+                        "input_sentence_3": g("InputSentence3"),
+                        "input_sentence_4": g("InputSentence4"),
+                        "sentence_quiz1": g("RandomFifthSentenceQuiz1"),
+                        "sentence_quiz2": g("RandomFifthSentenceQuiz2"),
+                        "answer_right_ending": int(g("AnswerRightEnding")),
+                    })
+        return out
 
     def has_training_docs(self):
         return False

@@ -262,7 +262,17 @@ class Engine:
         temps = np.zeros((self.max_batch,), np.float32)
         for i in active:
             temps[i] = self._slots[i].temperature
-        toks = np.asarray(_sample(sk, logits, jnp.asarray(temps)))
+        # per-slot top_k: sample per distinct k (slot counts are small)
+        ks = sorted({self._slots[i].top_k for i in active})
+        toks = np.zeros((self.max_batch,), np.int64)
+        for kval in ks:
+            rows = [i for i in active if self._slots[i].top_k == kval]
+            sub = _sample(jax.random.fold_in(sk, kval),
+                          logits[np.asarray(rows)],
+                          jnp.asarray(temps[np.asarray(rows)]),
+                          top_k=kval)
+            for r, t in zip(rows, np.asarray(sub)):
+                toks[r] = t
         newlen = np.array(self.kv.lengths)   # mutable host copy
         for i in active:
             req = self._slots[i]

@@ -114,3 +114,36 @@ def test_codes_roundtrip_qfnb(rng):
     Wback, _ = hess.postproc(Wr, jnp.zeros_like(H), res.preproc)
     np.testing.assert_allclose(np.asarray(Wback), np.asarray(res.W_hat),
                                atol=1e-6)
+
+
+def test_weight_entropy(rng):
+    from quip_tpu.core.ldlq import weight_entropy
+    codes = jnp.asarray(rng.integers(0, 4, (64, 64)))
+    e = weight_entropy(codes, 2)
+    assert 1.9 < e <= 2.0          # near-uniform 2-bit codes
+    e1 = weight_entropy(jnp.zeros((8, 8)), 2)
+    assert e1 == 0.0
+
+
+def test_activation_quant(rng):
+    from quip_tpu.ops.actquant import quantize_activations
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    for sym in (True, False):
+        xq = quantize_activations(x, bits=8, per_token=True, sym=sym)
+        rel = float(jnp.linalg.norm(xq - x) / jnp.linalg.norm(x))
+        assert rel < 2e-2
+    xq2 = quantize_activations(x, bits=2)
+    assert len(np.unique(np.asarray(xq2[0]))) <= 4
+
+
+def test_conv2d_weight_quant(rng):
+    from quip_tpu.ops.actquant import quantize_conv2d_weight
+    O, I, K = 16, 8, 3
+    W = jnp.asarray(rng.standard_normal((O, I, K, K)))
+    d = I * K * K
+    H = jnp.asarray(make_psd_hessian(rng, d))
+    cfg = QuantConfig.incoherence(wbits=4, method="ldlq")
+    Wq, res = quantize_conv2d_weight(W, H, cfg, jax.random.key(0))
+    assert Wq.shape == W.shape
+    rel = float(jnp.linalg.norm(Wq - W) / jnp.linalg.norm(W))
+    assert rel < 0.5
