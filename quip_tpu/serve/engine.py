@@ -183,14 +183,18 @@ class Engine:
             lambda params, tokens, lengths, k, v:
             _slot_attention_step(params, cfg, tokens, lengths, k, v))
 
-        # prefill: run full prompt through the model once, capturing K/V
-        def prefill(params, tokens, k_arena, v_arena, slot):
+        # prefill: run full prompt through the model once, capturing K/V.
+        # Prompts are padded to power-of-two length buckets so the engine
+        # compiles O(log max_seq) prefill programs, not one per prompt
+        # length. ``plen`` masks the padding out of the cache/logits.
+        def prefill(params, tokens, plen, k_arena, v_arena, slot):
             B, S = tokens.shape
             positions = jnp.broadcast_to(jnp.arange(S), (B, S))
             # keys live in the (max_seq)-long cache arena: causal w.r.t.
-            # absolute positions
+            # absolute positions; padded query positions attend nothing real
             key_pos = jnp.arange(self.max_seq)[None, None, :]
-            mask = key_pos <= positions[:, :, None]          # (B, S, max_seq)
+            mask = (key_pos <= positions[:, :, None]) & \
+                (key_pos < plen)                             # (B, S, max_seq)
             x = M.embed(params, tokens, cfg, positions)
 
             def body(x, layer):
@@ -213,7 +217,9 @@ class Engine:
             x, (knew, vnew) = lax.scan(
                 body, x, (params["blocks"], k_arena, v_arena))
             logits = M.unembed(params, x, cfg)
-            return logits[:, -1, :], knew, vnew
+            # last *real* (unpadded) position's logits
+            last = lax.dynamic_slice_in_dim(logits, plen - 1, 1, axis=1)
+            return last[:, 0, :], knew, vnew
 
         self._prefill = jax.jit(prefill)
 
@@ -232,12 +238,20 @@ class Engine:
             if self._slots[i] is None and self._queue:
                 req = self._queue.pop(0)
                 self._slots[i] = req
-                tokens = jnp.asarray(req.prompt[None, :], jnp.int32)
+                plen = len(req.prompt)
+                # pad to a power-of-two bucket: O(log max_seq) compiled
+                # prefill programs total
+                bucket = 8
+                while bucket < plen:
+                    bucket *= 2
+                bucket = min(bucket, self.max_seq)
+                padded = np.zeros((1, bucket), np.int32)
+                padded[0, :plen] = req.prompt
                 logits, self.kv.k, self.kv.v = self._prefill(
-                    self.params, tokens, self.kv.k, self.kv.v,
+                    self.params, jnp.asarray(padded),
+                    jnp.asarray(plen, jnp.int32), self.kv.k, self.kv.v,
                     jnp.asarray(i, jnp.int32))
-                self.kv.lengths = self.kv.lengths.at[i].set(
-                    len(req.prompt))
+                self.kv.lengths = self.kv.lengths.at[i].set(plen)
                 # first generated token comes from the prefill logits
                 self.key, sk = jax.random.split(self.key)
                 tok = int(_sample(sk, logits,
