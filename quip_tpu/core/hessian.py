@@ -55,7 +55,8 @@ class HessianAccumulator(NamedTuple):
             nseq = x.shape[0]
             xt = x.reshape(-1, x.shape[-1])
         xt = xt.astype(self.H.dtype)
-        update = xt.T @ xt                      # (d, d) — MXU
+        update = jnp.matmul(xt.T, xt,
+                            precision=jax.lax.Precision.HIGHEST)  # MXU f32
         # Kahan step
         y = update - self.comp
         t = self.H + y
@@ -70,7 +71,7 @@ class HessianAccumulator(NamedTuple):
 def accumulate_hessian(x: jax.Array, H: Optional[jax.Array] = None) -> jax.Array:
     """One-shot H += xᵀ x (flattening leading dims)."""
     xt = x.reshape(-1, x.shape[-1])
-    up = xt.T @ xt
+    up = jnp.matmul(xt.T, xt, precision=jax.lax.Precision.HIGHEST)
     return up if H is None else H + up
 
 

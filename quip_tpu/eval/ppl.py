@@ -50,7 +50,9 @@ def perplexity(
     assert nwin > 0, "test stream shorter than one window"
     windows = token_stream[: nwin * seqlen].reshape(nwin, seqlen)
 
-    loss_fn = jax.jit(lambda tk: window_nll(params, tk, cfg))
+    # params MUST be a jit argument: closing over them bakes the weights
+    # into the HLO as constants (a 125M-model program is ~0.5 GB)
+    loss_fn = jax.jit(lambda p, tk: window_nll(p, tk, cfg))
 
     total = 0.0
     i = 0
@@ -59,7 +61,7 @@ def perplexity(
         tk = jnp.asarray(windows[i:i + b].astype(np.int32))
         if b < batch:  # pad to keep one compiled shape
             tk = jnp.pad(tk, ((0, batch - b), (0, 0)))
-        nlls = np.asarray(loss_fn(tk))
+        nlls = np.asarray(loss_fn(params, tk))
         total += float(nlls[:b].sum())
         i += b
     return float(np.exp(total / (nwin * seqlen)))

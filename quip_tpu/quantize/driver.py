@@ -59,13 +59,14 @@ def _block_inputs(params, cfg: ModelConfig, tokens: jax.Array,
     positions = jnp.broadcast_to(jnp.arange(S), (1, S))
 
     @jax.jit
-    def emb(tk):
+    def emb(p, tk):
         pos = jnp.broadcast_to(jnp.arange(S), tk.shape)
-        return M.embed(params, tk, cfg, pos)
+        return M.embed(p, tk, cfg, pos)
 
+    embed_params = {k: params[k] for k in ("embed",)}
     outs = []
     for i in range(0, N, chunk):
-        outs.append(emb(tokens[i:i + chunk]))
+        outs.append(emb(embed_params, tokens[i:i + chunk]))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -83,7 +84,10 @@ def _make_block_fns(cfg: ModelConfig, seqlen: int, chunk: int):
         H_new = {}
         for name, x in taps.items():
             xt = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-            H_new[name] = H_init[name] + xt.T @ xt
+            # true-f32 accumulation: TPU default bf16 matmul passes corrupt
+            # H enough to break the downstream Cholesky
+            H_new[name] = H_init[name] + jnp.matmul(
+                xt.T, xt, precision=jax.lax.Precision.HIGHEST)
         return y, H_new
 
     @jax.jit

@@ -74,6 +74,13 @@ def quantize_layer(
     from quip_tpu.core.incoherence import raw_key
 
     kproj, kround = jax.random.split(raw_key(key))
+    # TPU matmuls default to bf16 passes; the solver's Cholesky/error
+    # recurrences need true f32 (NaNs otherwise — verified on v5e)
+    with jax.default_matmul_precision("float32"):
+        return _quantize_layer_inner(W, H, cfg, kproj, kround)
+
+
+def _quantize_layer_inner(W, H, cfg, kproj, kround):
     W0 = W.astype(jnp.float32) if W.dtype == jnp.bfloat16 else W
     H = H.astype(W0.dtype)
 
