@@ -243,17 +243,20 @@ def _hadamard(k: int, dtype=jnp.float32) -> jax.Array:
 
 
 def _pow2_split(n: int) -> Tuple[int, int]:
-    """n = a * b with a = largest power-of-2 factor (split evenly when n is
-    itself a power of two, so both matmuls stay small)."""
+    """n = a * b with a a power of two chosen near sqrt(n).
+
+    Both Kronecker factors must stay small: a lop-sided split (e.g.
+    12288 = 4096 x 3) would make the left Hadamard a 4096^2 dense constant —
+    67 MB of reads per application, observed as a 1.6x decode regression.
+    """
     k = 0
     m = n
     while m % 2 == 0:
         m //= 2
         k += 1
-    if m == 1:  # pure power of two: balance the Kronecker factors
-        ka = (k + 1) // 2
-        return 2**ka, 2 ** (k - ka)
-    return 2**k, m
+    # a = 2^ka closest to sqrt(n), bounded by the available 2-power
+    ka = min(k, max(1, round(math.log2(math.sqrt(n)))))
+    return 2**ka, (2 ** (k - ka)) * m
 
 
 def gen_rht(key: jax.Array, n: int, dtype=jnp.float32) -> RHT:

@@ -131,9 +131,19 @@ def attention(
 
     if taps is not None:
         taps["attn_in"] = x
-    q = linear_apply(p["wq"], x) + p.get("bq", 0.0)
-    k = linear_apply(p["wk"], x) + p.get("bk", 0.0)
-    v = linear_apply(p["wv"], x) + p.get("bv", 0.0)
+    if "wqkv" in p:
+        # fused projection (serving optimization: one packed matmul + one
+        # rotation instead of three; see pack/model.fuse_packed_qkv)
+        qkv = linear_apply(p["wqkv"], x) + p.get("bqkv", 0.0)
+        nq = H * hd
+        nkv = KV * hd
+        q = qkv[..., :nq]
+        k = qkv[..., nq:nq + nkv]
+        v = qkv[..., nq + nkv:]
+    else:
+        q = linear_apply(p["wq"], x) + p.get("bq", 0.0)
+        k = linear_apply(p["wk"], x) + p.get("bk", 0.0)
+        v = linear_apply(p["wv"], x) + p.get("bv", 0.0)
     q = q.reshape(B, S, H, hd)
     k = k.reshape(B, S, KV, hd)
     v = v.reshape(B, S, KV, hd)
@@ -194,8 +204,12 @@ def mlp(p: Params, x: jax.Array, cfg: ModelConfig,
     if taps is not None:
         taps["mlp_in"] = x
     if cfg.act == "silu_glu":
-        g = linear_apply(p["wg"], x)
-        u = linear_apply(p["wu"], x)
+        if "wgu" in p:    # fused gate+up (one packed matmul + rotation)
+            gu = linear_apply(p["wgu"], x)
+            g, u = gu[..., : cfg.d_ff], gu[..., cfg.d_ff:]
+        else:
+            g = linear_apply(p["wg"], x)
+            u = linear_apply(p["wu"], x)
         h = jax.nn.silu(g) * u
         if taps is not None:
             taps["down_in"] = h
@@ -444,7 +458,48 @@ class LinearSpec(NamedTuple):
     tap: str
 
 
-def linear_specs(cfg: ModelConfig) -> list[LinearSpec]:
+def fuse_params(params: Params, cfg: ModelConfig) -> Params:
+    """Concatenate q/k/v (and gate/up) projections into fused leaves.
+
+    Exact forward equivalence (pure concatenation); quantizing the fused
+    matrices shares one incoherence rotation and one packed matmul across
+    the group — fewer kernel invocations and better mixing (larger rotated
+    blocks)."""
+    blocks = dict(params["blocks"])
+    attn = dict(blocks["attn"])
+    attn["wqkv"] = jnp.concatenate(
+        [attn.pop("wq"), attn.pop("wk"), attn.pop("wv")], axis=-1)
+    if "bq" in attn:
+        attn["bqkv"] = jnp.concatenate(
+            [attn.pop("bq"), attn.pop("bk"), attn.pop("bv")], axis=-1)
+    blocks["attn"] = attn
+    if cfg.act == "silu_glu":
+        mlp = dict(blocks["mlp"])
+        mlp["wgu"] = jnp.concatenate(
+            [mlp.pop("wg"), mlp.pop("wu")], axis=-1)
+        blocks["mlp"] = mlp
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
+def linear_specs(cfg: ModelConfig, fused: bool = False) -> list[LinearSpec]:
+    if fused:
+        specs = [
+            LinearSpec("self_attn.qkv_proj", ("attn", "wqkv"), "attn_in"),
+            LinearSpec("self_attn.o_proj", ("attn", "wo"), "o_in"),
+        ]
+        if cfg.act == "silu_glu":
+            specs += [
+                LinearSpec("mlp.gate_up_proj", ("mlp", "wgu"), "mlp_in"),
+                LinearSpec("mlp.down_proj", ("mlp", "wd"), "down_in"),
+            ]
+        else:
+            specs += [
+                LinearSpec("fc1", ("mlp", "w1"), "mlp_in"),
+                LinearSpec("fc2", ("mlp", "w2"), "down_in"),
+            ]
+        return specs
     if cfg.family == "opt":
         return [
             LinearSpec("self_attn.q_proj", ("attn", "wq"), "attn_in"),

@@ -33,7 +33,7 @@ def pack_quantized_model(
     projection through ops.qlinear.linear_apply, which dispatches on leaf
     type. Blocks stay stacked (scan-compatible — PackedLinear is a pytree).
     """
-    specs = M.linear_specs(cfg)
+    specs = M.linear_specs(cfg, fused="wqkv" in params["blocks"]["attn"])
     blocks = params["blocks"]
     per_layer = []
     for li in range(cfg.n_layers):

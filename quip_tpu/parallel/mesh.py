@@ -53,9 +53,9 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
 # Megatron-style TP: column-parallel (shard out features) for q/k/v/up/gate,
 # row-parallel (shard in features) for o/down. All-reduce after row-parallel
 # matmuls is emitted automatically by GSPMD from these annotations.
-_COL_PARALLEL = {"wq", "wk", "wv", "w1", "wg", "wu"}
+_COL_PARALLEL = {"wq", "wk", "wv", "w1", "wg", "wu", "wqkv", "wgu"}
 _ROW_PARALLEL = {"wo", "w2", "wd"}
-_COL_BIAS = {"bq", "bk", "bv", "b1"}
+_COL_BIAS = {"bq", "bk", "bv", "b1", "bqkv"}
 
 
 def _spec_for_dense(name: str, ndim: int) -> P:

@@ -141,7 +141,8 @@ def quantize_model(
 
     N, S = calib_tokens.shape
     assert N % chunk == 0, f"nsamples {N} must be divisible by chunk {chunk}"
-    specs = M.linear_specs(cfg)
+    fused = "wqkv" in params["blocks"]["attn"]
+    specs = M.linear_specs(cfg, fused=fused)
     art = QuantizedModelArtifacts()
     qlayer = _jitted_quantize_layer(qcfg)
 

@@ -103,9 +103,16 @@ def _attn_steps(p, x, cfg, positions, mask, k_arena, v_arena, lengths):
 
     B, S, D = x.shape
     H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
-    q = linear_apply(p["wq"], x) + p.get("bq", 0.0)
-    k = linear_apply(p["wk"], x) + p.get("bk", 0.0)
-    v = linear_apply(p["wv"], x) + p.get("bv", 0.0)
+    if "wqkv" in p:
+        qkv = linear_apply(p["wqkv"], x) + p.get("bqkv", 0.0)
+        nq, nkv = H * hd, KV * hd
+        q = qkv[..., :nq]
+        k = qkv[..., nq:nq + nkv]
+        v = qkv[..., nq + nkv:]
+    else:
+        q = linear_apply(p["wq"], x) + p.get("bq", 0.0)
+        k = linear_apply(p["wk"], x) + p.get("bk", 0.0)
+        v = linear_apply(p["wv"], x) + p.get("bv", 0.0)
     q = q.reshape(B, S, H, hd)
     k = k.reshape(B, S, KV, hd)
     v = v.reshape(B, S, KV, hd)

@@ -148,3 +148,40 @@ def test_resume_and_host_offload(tiny_setup, tmp_path):
                     jax.tree.leaves(second["blocks"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert len(art2.errors) > 0   # errors restored from resume files
+
+
+def test_fused_qkv_pipeline(tiny_setup):
+    """fuse_params -> exact forward equivalence; fused quantization runs,
+    packs, and serves with close logits fidelity."""
+    from quip_tpu.pack.model import pack_quantized_model
+
+    cfg = get_config("llama-tiny")
+    params = M.init_params(jax.random.key(11), cfg)
+    fused = M.fuse_params(params, cfg)
+    tokens = jnp.asarray(np.arange(12)[None] % cfg.vocab_size, jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(M.forward(fused, tokens, cfg)),
+        np.asarray(M.forward(params, tokens, cfg)), atol=1e-5)
+
+    rng = np.random.default_rng(3)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qcfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    qf, art = quantize_model(fused, cfg, calib, qcfg, jax.random.key(12),
+                             chunk=4)
+    assert any("qkv_proj" in k for k in art.errors)
+    assert any("gate_up_proj" in k for k in art.errors)
+    assert len(art.errors) == cfg.n_layers * 4
+
+    packed = pack_quantized_model(qf, cfg, art, 2)
+    lg_dense = np.asarray(M.forward(qf, tokens, cfg))
+    lg_packed = np.asarray(M.forward(packed, tokens, cfg))
+    np.testing.assert_allclose(lg_packed, lg_dense, rtol=1e-3, atol=1e-3)
+
+    # quantized-fused quality comparable to quantized-unfused (logits MSE
+    # vs the fp model within 2x of each other)
+    qu, _ = quantize_model(params, cfg, calib, qcfg, jax.random.key(12),
+                           chunk=4)
+    ref = np.asarray(M.forward(params, tokens, cfg))
+    mse_f = float(np.mean((np.asarray(M.forward(qf, tokens, cfg)) - ref) ** 2))
+    mse_u = float(np.mean((np.asarray(M.forward(qu, tokens, cfg)) - ref) ** 2))
+    assert mse_f < mse_u * 2.5, (mse_f, mse_u)
