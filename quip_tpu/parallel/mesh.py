@@ -158,3 +158,42 @@ def seq_sharded_spec() -> P:
     the attention all-gathers. Use for prompts that exceed one chip's
     activation memory."""
     return P(None, "dp")
+
+
+def make_pp_mesh(pp: int, devices=None) -> Mesh:
+    """1-D 'pp' mesh for layer-wise model partitioning — the GSPMD
+    equivalent of the reference's naive multi-GPU layer distribution
+    (opt_multigpu opt.py:384-428, --layers-dist llama.py:505): the stacked
+    layer axis is sharded so each device holds a contiguous slice of
+    blocks; XLA moves the scanned activations between stages."""
+    devices = devices if devices is not None else jax.devices()
+    arr = np.asarray(devices[:pp])
+    return Mesh(arr.reshape(pp), ("pp",))
+
+
+def shard_params_pp(params: Dict[str, Any], cfg: ModelConfig,
+                    mesh: Mesh) -> Dict[str, Any]:
+    """Shard every stacked-block leaf over 'pp' on the layer axis;
+    everything else replicated."""
+
+    def walk(tree, in_blocks):
+        if isinstance(tree, PackedLinear):
+            ch, aux = tree.tree_flatten()
+            spec_ch = jax.tree.map(lambda _: P("pp"), ch)
+            return PackedLinear.tree_unflatten(aux, spec_ch)
+        if isinstance(tree, dict):
+            return {k: walk(v, in_blocks) for k, v in tree.items()}
+        if tree is None:
+            return None
+        return P("pp") if in_blocks else P()
+
+    specs = dict(params)
+    specs = {k: walk(v, k == "blocks") for k, v in params.items()}
+
+    def place(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, specs,
+                        is_leaf=lambda x: x is None)

@@ -170,3 +170,21 @@ def test_sequence_sharded_prefill(tiny_model):
     want = M.forward(params, tokens, cfg)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
                                atol=1e-4)
+
+
+def test_pipeline_layer_sharding(tiny_model):
+    """Layer-axis ('pp') sharding: blocks distributed across devices, same
+    logits (parity with the reference's opt_multigpu layer distribution,
+    done the GSPMD way)."""
+    from quip_tpu.parallel.mesh import make_pp_mesh, shard_params_pp
+
+    cfg, params = tiny_model    # 2 layers -> pp=2
+    mesh = make_pp_mesh(pp=2)
+    sharded = shard_params_pp(params, cfg, mesh)
+    wq = sharded["blocks"]["attn"]["wq"]
+    assert not wq.sharding.is_fully_replicated
+    tokens = jnp.ones((1, 8), jnp.int32)
+    logits = jax.jit(lambda p, t: M.forward(p, t, cfg))(sharded, tokens)
+    want = M.forward(params, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               atol=1e-4)
