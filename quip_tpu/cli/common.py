@@ -7,10 +7,8 @@ shared by quantize / eval / zeroshot / serve / bench.
 from __future__ import annotations
 
 import argparse
-import json
 from dataclasses import replace
 
-import numpy as np
 import jax
 
 from quip_tpu.models import get_config

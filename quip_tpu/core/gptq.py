@@ -14,8 +14,6 @@ equivalence test (tests/test_equivalence.py).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -22,7 +22,7 @@ Modes match ``preproc_proj_extra`` (method.py:125-135):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ Shapes follow the reference convention: W is (m, d) with d the contraction
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -12,7 +12,7 @@ container has no egress; the reference would simply crash).
 from __future__ import annotations
 
 import random
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

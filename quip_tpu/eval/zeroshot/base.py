@@ -11,11 +11,10 @@ from __future__ import annotations
 import abc
 import random
 import re
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Dict, Iterable, Optional
 
 import numpy as np
 
-from quip_tpu.eval.zeroshot import metrics as Msym
 from quip_tpu.eval.zeroshot.metrics import mean, weighted_perplexity, bits_per_byte
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import collections
 import itertools
 import random
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Callable, Iterable, List, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 

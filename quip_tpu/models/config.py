@@ -7,7 +7,7 @@ implementation (models/model.py) serves all of them.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

@@ -19,7 +19,7 @@ lane-friendly layout designed for vectorized unpack inside a Pallas kernel:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional
 
 METHODS = ("ldlq", "ldlqRG", "allbal", "ldlbal_admm", "ldl_gptqequiv",
            "gptq", "nearest")

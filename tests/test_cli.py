@@ -1,0 +1,78 @@
+"""End-to-end CLI regression tests (offline, tiny model, synthetic data)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+ARGS_TINY = ["opt-tiny", "synthetic", "--nsamples", "8", "--seqlen", "64"]
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    from quip_tpu.cli import quantize
+
+    path = str(tmp_path_factory.mktemp("cli") / "ckpt")
+    quantize.main(ARGS_TINY + ["--wbits", "2", "--quant", "ldlq",
+                               "--incoh_processing", "--save", path,
+                               "--packed"])
+    assert os.path.exists(os.path.join(path, "arrays.npz"))
+    return path
+
+
+def test_eval_cli(ckpt_dir, capsys):
+    from quip_tpu.cli import eval as ecli
+
+    ecli.main(ARGS_TINY + ["--load", ckpt_dir])
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    assert np.isfinite(json.loads(line)["ppl"])
+
+
+def test_serve_cli(ckpt_dir, capsys):
+    from quip_tpu.cli import serve
+
+    serve.main(["opt-tiny", "--load", ckpt_dir, "--prompt", "ab",
+                "--max_new_tokens", "4", "--max_seq", "64"])
+    out = capsys.readouterr().out
+    rec = json.loads([ln for ln in out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rec["prompt"] == "ab"
+
+
+def test_bench_cli(capsys):
+    from quip_tpu.cli import bench as bcli
+
+    bcli.main(["opt-tiny", "--tokens", "4", "--max_seq", "32"])
+    out = capsys.readouterr().out
+    rec = json.loads([ln for ln in out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rec["tokens_per_sec"] > 0
+
+
+def test_tools_cli(tmp_path, capsys):
+    from quip_tpu.cli import tools
+
+    hpath = str(tmp_path / "H.npz")
+    tools.main(["save-hessians"] + ARGS_TINY + ["--out", hpath])
+    tools.main(["hsummary", "--hessians", hpath])
+    tools.main(["proxy", "opt-tiny", "--hessians", hpath, "--wbits", "4",
+                "--quant", "ldlq", "--incoh_processing", "--layers", "0",
+                "--names", "fc2"])
+    out = capsys.readouterr().out
+    assert "avg_proxy_error" in out
+    tools.main(["equiv-check", "--m", "64", "--d", "48"])
+    out = capsys.readouterr().out
+    assert "EQUIVALENCE OK" in out
+
+
+def test_zeroshot_cli_offline_rejects_cleanly():
+    """Without network/cache, task download must fail with a real error,
+    not hang (the CLI surface still parses + selects tasks)."""
+    from quip_tpu.cli.zeroshot import pattern_match
+    from quip_tpu.eval.zeroshot.registry import ALL_TASKS
+
+    assert pattern_match(["arc_*"], ALL_TASKS) == ["arc_challenge",
+                                                   "arc_easy"]
+    assert pattern_match(["piqa,bogus".split(",")[0]], ALL_TASKS) == ["piqa"]
