@@ -130,3 +130,27 @@ def test_packed_checkpoint_roundtrip(rng, tmp_path):
     sz = os.path.getsize(os.path.join(path, "arrays.npz"))
     dense_sz = sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))
     assert sz < dense_sz
+
+
+@pytest.mark.parametrize("wbits", [3, 4])
+def test_packed_model_other_widths(rng, wbits):
+    """3-bit (two-plane) and 4-bit packed models serve with dense parity."""
+    from quip_tpu.models import get_config
+    from quip_tpu.models import model as M
+    from quip_tpu.pack.model import pack_quantized_model
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(20 + wbits), cfg)
+    rng_t = np.random.default_rng(0)
+    calib = jnp.asarray(rng_t.integers(0, cfg.vocab_size, (4, 32)),
+                        jnp.int32)
+    qcfg = QuantConfig.incoherence(wbits=wbits, method="ldlq")
+    qparams, art = quantize_model(params, cfg, calib, qcfg,
+                                  jax.random.key(1), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, wbits)
+    tokens = jnp.asarray(rng_t.integers(0, cfg.vocab_size, (1, 12)),
+                         jnp.int32)
+    ld = np.asarray(M.forward(qparams, tokens, cfg))
+    lp = np.asarray(M.forward(packed, tokens, cfg))
+    np.testing.assert_allclose(lp, ld, rtol=1e-3, atol=1e-3)
