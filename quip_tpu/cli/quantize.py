@@ -32,9 +32,17 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=4)
     p.add_argument("--proxy_only", action="store_true",
                    help="report proxy losses only, skip final eval")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse qkv (and gate+up) before quantizing: one "
+                        "rotation + one packed matmul per group")
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="per-layer resume directory")
     args = p.parse_args(argv)
 
     params, cfg = common.load_model(args)
+    if args.fuse:
+        from quip_tpu.models import model as M
+        params = M.fuse_params(params, cfg)
     (calib, test_stream), seqlen = common.get_data(args, cfg)
     qcfg = common.quant_config_from_args(args)
 
@@ -42,7 +50,7 @@ def main(argv=None):
     t0 = time.time()
     newp, art = quantize_model(params, cfg, jnp.asarray(calib), qcfg,
                                jax.random.key(args.seed), chunk=args.chunk,
-                               progress=True)
+                               progress=True, resume_dir=args.resume_dir)
     print(f"Total quant time: {time.time() - t0:.2f}s")
     print(f"Total proxy error: {art.total_error:.4f}")
 

@@ -313,3 +313,18 @@ class Engine:
         while any(s is not None for s in self._slots) or self._queue:
             self.step()
         return [all_reqs[uid] for uid in uids]
+
+    def stream(self, prompt, max_new_tokens=64, temperature=0.0, top_k=0):
+        """Generator interface: yields tokens as they are produced (other
+        queued/active requests keep decoding in the same steps)."""
+        uid = self.submit(prompt, max_new_tokens, temperature, top_k)
+        req = next(r for r in self._queue if r.uid == uid)
+        emitted = 0
+        while not req.done:
+            self.step()
+            while emitted < len(req.generated):
+                yield req.generated[emitted]
+                emitted += 1
+        while emitted < len(req.generated):
+            yield req.generated[emitted]
+            emitted += 1

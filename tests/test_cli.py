@@ -76,3 +76,23 @@ def test_zeroshot_cli_offline_rejects_cleanly():
     assert pattern_match(["arc_*"], ALL_TASKS) == ["arc_challenge",
                                                    "arc_easy"]
     assert pattern_match(["piqa,bogus".split(",")[0]], ALL_TASKS) == ["piqa"]
+
+
+def test_quantize_cli_fuse_and_resume(tmp_path, capsys):
+    from quip_tpu.cli import quantize
+
+    rdir = str(tmp_path / "resume")
+    # llama-tiny has silu_glu => both qkv and gate_up fuse
+    quantize.main(["llama-tiny", "synthetic", "--nsamples", "8",
+                   "--seqlen", "64", "--wbits", "2", "--quant", "ldlq",
+                   "--incoh_processing", "--fuse", "--resume_dir", rdir])
+    out = capsys.readouterr().out
+    assert "Total proxy error" in out
+    import os
+    assert os.path.exists(os.path.join(rdir, "layer_0.npz"))
+    # resumed re-run is near-instant and identical
+    quantize.main(["llama-tiny", "synthetic", "--nsamples", "8",
+                   "--seqlen", "64", "--wbits", "2", "--quant", "ldlq",
+                   "--incoh_processing", "--fuse", "--resume_dir", rdir])
+    out2 = capsys.readouterr().out
+    assert "(resumed)" in out2

@@ -188,3 +188,13 @@ def test_pipeline_layer_sharding(tiny_model):
     want = M.forward(params, tokens, cfg)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
                                atol=1e-4)
+
+
+def test_engine_stream(tiny_model):
+    """Streaming generator yields the same tokens as run()."""
+    cfg, params = tiny_model
+    e1 = Engine(params, cfg, max_batch=2, max_seq=64)
+    toks = list(e1.stream([1, 2, 3], max_new_tokens=5))
+    e2 = Engine(params, cfg, max_batch=2, max_seq=64)
+    [req] = e2.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
+    assert toks == req.generated
