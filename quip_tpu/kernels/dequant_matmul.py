@@ -6,21 +6,33 @@ zeroShot/models/quant.py:207) — and strictly more capable: the CUDA path was
 single-token-only (quant.py:222-233); this kernel handles arbitrary batch.
 
 Why it's fast on TPU: weight-only-quantized decode is HBM-bandwidth bound.
-Reading 2-bit packed weights moves 8x fewer bytes than bf16; unpack (VPU
-shift/mask) and the small matmul (MXU) hide under the DMA. The slab-major
-pack layout (pack/format.py) makes unpack `codes_per_word` shift+mask ops
-producing contiguous column slabs — no cross-lane interleave.
+Reading 2-bit packed weights moves 8x fewer bytes than bf16; the unpack must
+then be cheap enough on the VPU not to become the new ceiling. The
+halfword-spread transposed plane layout (pack/format.py) makes it ~1.5 VPU
+ops/element with no int->float converts:
 
-Grid: (m_tiles,); each program DMAs one (TM, d*bits/32) packed tile +
-the full activation block (B, d), emits (B, TM).
+    field k of every word, both 16-bit halves at once:
+        t = ((w >> bits*k) & mask16) | 0x4300_4300
+    bit-patterns each half into bf16(128 + code) (0x4300 == bf16 128.0, the
+    code lands in the low mantissa bits). `pltpu.bitcast(t, bfloat16)` splits
+    each int32 row into two bf16 rows IN fan-in order, so concatenating the
+    k-slabs yields the full (d, TM) operand directly. The +128 offset is
+    linear, so it folds into the Σx fixup the dequant affine already needs:
+        x @ (128 + q)ᵀ = 128·Σx + x @ qᵀ.
 
-Dequant algebra is folded *around* the integer matmul where possible:
-  qfn-b:  y = x @ Ŵᵀ,  Ŵ = (2/maxq · q - 1) · s
-        = s · (2/maxq · (x @ qᵀ) - Σ_d x)
-so the kernel multiplies bf16 codes directly and applies one scalar fixup —
-no dense dequantized weight tile is ever materialized.
-  qfn-a:  Ŵ = scale_r (q - zero_r)
-        = scale_r · (x @ qᵀ) - scale_r zero_r · Σ_d x.
+Dequant algebra is likewise folded *around* the integer matmul — no dense
+dequantized W tile is ever materialized:
+    qfn-b:  y = x @ Ŵᵀ,  Ŵ = (2/maxq · q - 1) · s
+          = s · (2/maxq · (x @ qᵀ) - Σ_d x)
+    qfn-a:  Ŵ = scale_r (q - zero_r)
+          = scale_r · (x @ qᵀ) - scale_r zero_r · Σ_d x.
+Multi-plane widths (3 = 2+1, 8 = 4+4, pack/format.py:PLANE_SPLITS) run one
+dot per plane and combine x @ qᵀ = Σ_p weight_p · (x @ q_pᵀ); the extra dot
+is free at decode batch sizes (the kernel is bandwidth-bound, and planes
+together still move bits/16 of the bf16 bytes).
+
+Grid: (B_tiles, m_tiles); each program DMAs one (nw, TM) packed tile per
+plane + one (TB, d) activation tile, emits (TB, TM).
 """
 from __future__ import annotations
 
@@ -32,142 +44,141 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from quip_tpu.pack.format import PLANE_SPLITS
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
-def _unpack_tile(words, bits: int, compute_dtype):
-    """(TM, nw) int32 slab-major words -> (TM, nw*cpw) codes in compute
-    dtype. Mirrors pack/format.py:_unpack_plane."""
-    cpw = 32 // bits
-    w = words.astype(jnp.uint32)
-    mask = jnp.uint32(2**bits - 1)
-    # Mosaic has no direct uint32->bf16 cast; go via int32 -> f32
-    slabs = [((w >> (bits * b)) & mask).astype(jnp.int32)
-             for b in range(cpw)]
-    q = jnp.concatenate(slabs, axis=1)
-    return q.astype(jnp.float32).astype(compute_dtype)
+_BF16_128 = 0x43004300  # bf16 128.0 in both 16-bit halves
 
 
-def _dequant_matmul_kernel_qfnb(bits, maxq, x_ref, w_ref, scale_ref, o_ref):
-    """One m-tile of y = x @ Ŵᵀ for the qfn-b grid."""
-    x = x_ref[:]                                    # (B, d)
-    q = _unpack_tile(w_ref[:], bits, x.dtype)       # (TM, d)
+def _plane_codes_dot(x_bf, w_ref, field_bits, xsum_bf):
+    """x @ q_pᵀ for one packed plane, via the bf16 mantissa-patterning
+    unpack. Returns the f32 (TB, TM) code dot (offset already removed).
+
+    The offset fixup MUST use the sum of the bf16-cast x the dot actually
+    consumes: the MXU multiplies bf16 operands, so cancelling 128·Σx with a
+    higher-precision Σx of a float32 input would leave the x-rounding error
+    amplified 128x (a ~1e-3 relative output error, observed)."""
+    w = pltpu.bitcast(w_ref[:], jnp.uint32)          # (nw, TM)
+    fph = 16 // field_bits
+    mask = jnp.uint32(((1 << field_bits) - 1) * 0x00010001)
+    exp = jnp.uint32(_BF16_128)
+    slabs = [
+        pltpu.bitcast(((w >> (field_bits * k)) & mask) | exp, jnp.bfloat16)
+        for k in range(fph)
+    ]                                                 # each (2*nw, TM)
+    q = jnp.concatenate(slabs, axis=0)                # (d, TM) = 128 + codes
     acc = jax.lax.dot_general(
-        x, q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                               # (B, TM)
-    xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (B, 1)
-    s = scale_ref[0, 0].astype(jnp.float32)
-    o_ref[:] = (s * ((2.0 / maxq) * acc - xsum)).astype(o_ref.dtype)
-
-
-def _dequant_matmul_kernel_qfna(bits, x_ref, w_ref, scale_ref, zero_ref,
-                                o_ref):
-    """One m-tile of y = x @ Ŵᵀ for the qfn-a grid (per-row scale/zero)."""
-    x = x_ref[:]
-    q = _unpack_tile(w_ref[:], bits, x.dtype)
-    acc = jax.lax.dot_general(
-        x, q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        x_bf, q,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-    scale = scale_ref[:].astype(jnp.float32)                  # (1, TM)
-    zero = zero_ref[:].astype(jnp.float32)
-    o_ref[:] = (scale * acc - scale * zero * xsum).astype(o_ref.dtype)
+    return acc - 128.0 * xsum_bf
 
 
-def _dequant_matmul_kernel_3bit_qfnb(maxq, x_ref, lo_ref, hi_ref, scale_ref,
-                                     o_ref):
-    x = x_ref[:]
-    lo = _unpack_tile(lo_ref[:], 2, x.dtype)
-    hi = _unpack_tile(hi_ref[:], 1, x.dtype)
-    q = lo + 4.0 * hi
-    acc = jax.lax.dot_general(
-        x, q, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-    s = scale_ref[0, 0].astype(jnp.float32)
-    o_ref[:] = (s * ((2.0 / maxq) * acc - xsum)).astype(o_ref.dtype)
+def _kernel(plane_fields, plane_weights, qfn, maxq, nplanes,
+            x_ref, *refs):
+    w_refs = refs[:nplanes]
+    o_ref = refs[-1]
+    # Uniform kernel semantics: y = bf16(x) @ Ŵᵀ with f32 accumulation —
+    # the MXU consumes bf16 operands either way, and every Σx term must be
+    # taken over the SAME bf16 values the dot sees (see _plane_codes_dot).
+    x_bf = x_ref[:].astype(jnp.bfloat16)              # (TB, d)
+    xsum = jnp.sum(x_bf.astype(jnp.float32), axis=1, keepdims=True)
+    ycodes = None
+    for w_ref, fb, pw in zip(w_refs, plane_fields, plane_weights):
+        acc = _plane_codes_dot(x_bf, w_ref, fb, xsum)
+        acc = acc if pw == 1 else pw * acc
+        ycodes = acc if ycodes is None else ycodes + acc
+    if qfn == "b":
+        s_ref = refs[nplanes]
+        s = s_ref[0, 0].astype(jnp.float32)
+        o_ref[:] = (s * ((2.0 / maxq) * ycodes - xsum)).astype(o_ref.dtype)
+    else:
+        scale = refs[nplanes][:].astype(jnp.float32)      # (1, TM)
+        zero = refs[nplanes + 1][:].astype(jnp.float32)   # (1, TM)
+        o_ref[:] = (scale * ycodes - scale * zero * xsum).astype(o_ref.dtype)
+
+
+def default_tile_m(m: int, d: int) -> int:
+    """Largest lane-aligned m-tile keeping the unpacked (d, TM) bf16 operand
+    + packed tiles comfortably inside VMEM (~13 MB working set)."""
+    t = 512
+    while t > 128 and (d * t * 3 > 13e6 or m % t):
+        t //= 2
+    return min(t, m)
+
+
+def _default_tile_b(B: int) -> int:
+    # 128 keeps the (TB, d) activation tile + the unpacked (d, TM) operand
+    # inside VMEM even at d=11008 (long-prompt prefill buckets)
+    t = min(B, 128)
+    while B % t:
+        t //= 2
+    return max(t, 1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "qfn", "tile_m", "interpret", "out_dtype"),
+    static_argnames=("bits", "qfn", "tile_m", "tile_b", "interpret",
+                     "out_dtype"),
 )
 def dequant_matmul(
     x: jax.Array,                    # (B, d)
-    planes: Tuple[jax.Array, ...],   # packed planes, (m, d*bits_plane/32)
+    planes: Tuple[jax.Array, ...],   # halfword-spread planes, (nw_p, m)
     scale: jax.Array,                # qfn-b: (1,1) scalar; qfn-a: (m,)
     zero: Optional[jax.Array],       # qfn-a: (m,); qfn-b: None
     *,
     bits: int,
     qfn: str = "b",
-    tile_m: int = 256,
+    tile_m: Optional[int] = None,
+    tile_b: Optional[int] = None,
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:
     """y = x @ dequant(packed).T — the fused inference hot path."""
     B, d = x.shape
-    m = planes[0].shape[0]
+    m = planes[0].shape[-1]
     maxq = float(2**bits - 1)
     out_dtype = out_dtype or x.dtype
+    splits = PLANE_SPLITS[bits]
+    assert len(planes) == len(splits), (len(planes), bits)
+    tile_m = tile_m if tile_m is not None else default_tile_m(m, d)
     tile_m = min(tile_m, m)
+    tile_b = tile_b if tile_b is not None else _default_tile_b(B)
     assert m % tile_m == 0, f"m={m} must be divisible by tile_m={tile_m}"
-    grid = (m // tile_m,)
+    assert B % tile_b == 0, f"B={B} must be divisible by tile_b={tile_b}"
+    grid = (B // tile_b, m // tile_m)
 
-    x_spec = pl.BlockSpec((B, d), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((B, tile_m), lambda i: (0, i),
+    in_specs = [pl.BlockSpec((tile_b, d), lambda b, i: (b, 0),
+                             memory_space=pltpu.VMEM)]
+    for p in planes:
+        nw = p.shape[0]
+        in_specs.append(
+            pl.BlockSpec((nw, tile_m), lambda b, i: (0, i),
+                         memory_space=pltpu.VMEM))
+    if qfn == "b":
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        extra = (jnp.asarray(scale, jnp.float32).reshape(1, 1),)
+    else:
+        in_specs.append(pl.BlockSpec((1, tile_m), lambda b, i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, tile_m), lambda b, i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        extra = (scale.reshape(1, m), zero.reshape(1, m))
+
+    out_spec = pl.BlockSpec((tile_b, tile_m), lambda b, i: (b, i),
                             memory_space=pltpu.VMEM)
 
-    if bits == 3:
-        assert qfn == "b", "3-bit kernel currently supports qfn-b"
-        lo, hi = planes
-        kernel = functools.partial(_dequant_matmul_kernel_3bit_qfnb, maxq)
-        in_specs = [
-            x_spec,
-            pl.BlockSpec((tile_m, lo.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, hi.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ]
-        args = (x, lo, hi, jnp.asarray(scale, jnp.float32).reshape(1, 1))
-    elif qfn == "b":
-        (words,) = planes
-        kernel = functools.partial(_dequant_matmul_kernel_qfnb, bits, maxq)
-        in_specs = [
-            x_spec,
-            pl.BlockSpec((tile_m, words.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ]
-        args = (x, words, jnp.asarray(scale, jnp.float32).reshape(1, 1))
-    else:  # qfn 'a'
-        (words,) = planes
-        kernel = functools.partial(_dequant_matmul_kernel_qfna, bits)
-        in_specs = [
-            x_spec,
-            pl.BlockSpec((tile_m, words.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ]
-        args = (x, words, scale.reshape(1, m), zero.reshape(1, m))
-
-    flops = 2 * B * d * m
+    flops = 2 * B * d * m * len(splits)
     bytes_accessed = (x.size * x.dtype.itemsize
                       + sum(p.size * 4 for p in planes)
                       + B * m * jnp.dtype(out_dtype).itemsize)
+
+    kernel = functools.partial(
+        _kernel,
+        tuple(fb for fb, _ in splits),
+        tuple(pw for _, pw in splits),
+        qfn, maxq, len(planes))
 
     return pl.pallas_call(
         kernel,
@@ -178,7 +189,7 @@ def dequant_matmul(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
-    )(*args)
+    )(x, *planes, *extra)
 
 
 def dequant_matmul_ref(

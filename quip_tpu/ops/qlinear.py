@@ -29,7 +29,7 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: int,
+def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: Optional[int],
                    use_kernel: Optional[bool]) -> jax.Array:
     """x2 (B, d) @ Ŵ₂ᵀ via the fused kernel (TPU) or jnp reference (CPU)."""
     use = _use_pallas() if use_kernel is None else use_kernel
@@ -40,15 +40,16 @@ def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: int,
         pad = (-B) % 8
         if pad:
             x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        tm = None if tile_m is None else min(tile_m, q.out_features)
         out = dequant_matmul(x2, q.planes, scale, zero, bits=q.bits,
-                             qfn=q.qfn, tile_m=min(tile_m, q.out_features))
+                             qfn=q.qfn, tile_m=tm)
         return out[:B] if pad else out
     return dequant_matmul_ref(x2, q.planes, scale, zero, bits=q.bits,
                               qfn=q.qfn)
 
 
 def qlinear_apply(q: PackedLinear, x: jax.Array, *,
-                  tile_m: int = 256,
+                  tile_m: Optional[int] = None,
                   use_kernel: Optional[bool] = None) -> jax.Array:
     """Apply a packed quantized linear to x (..., in_features)."""
     lead = x.shape[:-1]

@@ -2,16 +2,29 @@
 
 Replaces the reference's CUDA-oriented bit-packing (Quant3Linear.pack,
 /root/reference/quant.py:185-220, zeroShot/models/quant.py:183-212) with a
-lane-friendly layout designed for vectorized unpack inside a Pallas kernel:
+**halfword-spread, transposed** layout designed so the Pallas kernel
+(kernels/dequant_matmul.py) can turn packed words into bf16 matmul operands
+with ~1.5 VPU ops per element and ZERO int->float conversions:
 
-  * Codes are packed along the fan-in (d) axis, **slab-major**: 32-bit word j
-    of a row holds code columns {b*nwords + j : b in 0..codes_per_word-1} in
-    bit-fields [bits*b, bits*(b+1)). Unpacking is then `codes_per_word`
-    shift+mask ops, each yielding a *contiguous* (m, nwords) column slab —
-    no cross-lane interleave, no gathers (cf. the reference's 10×3-bit+spill
-    row-triplet format which needs serial bit surgery, quant.py:197-217).
-  * 3-bit uses two planes (low 2 bits + high bit), each slab-major, keeping
-    every plane power-of-two packed.
+  * A plane is an int32 array of shape (nwords, m) — fan-in packed on the
+    sublane axis, out-features on the 128-wide lane axis (already in the
+    layout the MXU wants for `x @ Wᵀ` as an NN dot).
+  * Word (j, i) carries codes of weight row i at bit-field (16*h + bits*k),
+    h in {0,1}, k in 0..(16/bits)-1, for fan-in column
+        c = k * (2 * nwords) + 2 * j + h.
+    Unpacking field k for *both* halves at once is one shift+mask+or:
+        ((w >> bits*k) & mask16) | 0x4300_4300
+    which bit-patterns each 16-bit half into the bfloat16 value 128+code
+    (0x4300 is bf16 128.0; codes < 16 live in the low mantissa bits). A
+    bitwidth-changing `pltpu.bitcast` to bf16 then yields a (2*nwords, m)
+    slab whose rows are exactly fan-in columns k*2nw..k*2nw+2nw-1 — the
+    concatenated slabs ARE the (d, m) operand, offset by 128, and the 128
+    offset folds into the affine fixup (128 * Σx) the kernel already
+    computes. No gathers, no per-element converts, no dense W materialized.
+  * Every plane holds 1, 2, or 4-bit fields; wider widths compose planes:
+    2-bit -> (p2,), 3-bit -> (p2_low, p1_high), 4-bit -> (p4,),
+    8-bit -> (p4_low, p4_high). Multi-plane formats cost one extra MXU dot,
+    which is free at decode batch sizes (the kernel is bandwidth-bound).
   * Metadata carries everything inference needs: grid params (qfn-a per-row
     scale/zero or qfn-b scalar), the diagonal rescale vector, and the PRNG
     key that regenerates the U/V butterflies (checkpoints never store dense
@@ -25,51 +38,70 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# (field bit width, code-combine weight) per plane, keyed by total width
+PLANE_SPLITS = {
+    2: ((2, 1),),
+    3: ((2, 1), (1, 4)),
+    4: ((4, 1),),
+    8: ((4, 1), (4, 16)),
+}
+
 
 def _pack_plane(codes: jax.Array, bits: int) -> jax.Array:
-    """Pack (m, d) integer codes (< 2**bits, bits in {1,2,4,8}) into
-    (m, d*bits//32) int32, slab-major."""
+    """Pack (m, d) integer codes (< 2**bits, bits in {1,2,4}) into a
+    halfword-spread transposed (d*bits//32, m) int32 plane."""
     m, d = codes.shape
-    cpw = 32 // bits                      # codes per word
+    fph = 16 // bits                      # fields per 16-bit half
+    cpw = 2 * fph                         # codes per 32-bit word
     assert d % cpw == 0, f"d={d} must be divisible by {cpw}"
     nw = d // cpw
-    c = codes.astype(jnp.uint32).reshape(m, cpw, nw)
-    word = jnp.zeros((m, nw), jnp.uint32)
-    for b in range(cpw):
-        word = word | (c[:, b, :] << (bits * b))
+    # fan-in column c = k*(2*nw) + 2*j + h  ->  axes (k, j, h)
+    c = codes.astype(jnp.uint32).T.reshape(fph, nw, 2, m)
+    word = jnp.zeros((nw, m), jnp.uint32)
+    for k in range(fph):
+        for h in range(2):
+            word = word | (c[k, :, h, :] << (16 * h + bits * k))
     return word.astype(jnp.int32)
 
 
 def _unpack_plane(words: jax.Array, bits: int, d: int) -> jax.Array:
     """Inverse of _pack_plane -> (m, d) int32 codes."""
-    cpw = 32 // bits
-    nw = d // cpw
+    fph = 16 // bits
+    nw = d // (2 * fph)
     w = words.astype(jnp.uint32)
     mask = jnp.uint32(2**bits - 1)
-    slabs = [((w >> (bits * b)) & mask) for b in range(cpw)]
-    return jnp.concatenate(slabs, axis=1).astype(jnp.int32)
+    # rebuild the (fph, nw, 2, m) code axes, then invert the pack reshape
+    c = jnp.stack(
+        [jnp.stack([(w >> (16 * h + bits * k)) & mask for h in range(2)],
+                   axis=1)
+         for k in range(fph)], axis=0)            # (fph, nw, 2, m)
+    return c.reshape(d, words.shape[-1]).T.astype(jnp.int32)
 
 
 def pack_codes(codes: jax.Array, bits: int) -> Tuple[jax.Array, ...]:
-    """Pack integer grid codes. Returns a tuple of int32 planes:
-    one plane for bits in {2, 4, 8}; (low2, high1) planes for 3-bit."""
-    if bits in (2, 4, 8):
-        return (_pack_plane(codes, bits),)
-    if bits == 3:
-        lo = codes & 3
-        hi = (codes >> 2) & 1
-        return (_pack_plane(lo, 2), _pack_plane(hi, 1))
-    raise ValueError(f"unsupported bit width {bits}")
+    """Pack integer grid codes into halfword-spread transposed planes.
+    Returns one (nw, m) int32 plane per PLANE_SPLITS entry."""
+    if bits not in PLANE_SPLITS:
+        raise ValueError(f"unsupported bit width {bits}")
+    planes = []
+    shift = 0
+    for field_bits, _ in PLANE_SPLITS[bits]:
+        part = (codes >> shift) & ((1 << field_bits) - 1)
+        planes.append(_pack_plane(part, field_bits))
+        shift += field_bits
+    return tuple(planes)
 
 
 def unpack_codes(planes: Tuple[jax.Array, ...], bits: int, d: int) -> jax.Array:
-    if bits in (2, 4, 8):
-        return _unpack_plane(planes[0], bits, d)
-    if bits == 3:
-        lo = _unpack_plane(planes[0], 2, d)
-        hi = _unpack_plane(planes[1], 1, d)
-        return lo | (hi << 2)
-    raise ValueError(f"unsupported bit width {bits}")
+    if bits not in PLANE_SPLITS:
+        raise ValueError(f"unsupported bit width {bits}")
+    out = None
+    shift = 0
+    for plane, (field_bits, _) in zip(planes, PLANE_SPLITS[bits]):
+        part = _unpack_plane(plane, field_bits, d)
+        out = part << shift if out is None else out | (part << shift)
+        shift += field_bits
+    return out
 
 
 @jax.tree_util.register_pytree_node_class

@@ -65,59 +65,89 @@ def _threads() -> int:
     return min(16, os.cpu_count() or 1)
 
 
-def pack_np(codes: np.ndarray, bits: int) -> np.ndarray:
-    """(m, d) uint8 codes -> (m, d*bits/32) int32, slab-major (identical
+def pack_plane_np(codes: np.ndarray, field_bits: int) -> np.ndarray:
+    """(m, d) uint8 codes (< 2**field_bits, field_bits in {1,2,4}) ->
+    (d*field_bits/32, m) int32 halfword-spread transposed plane (identical
     layout to pack/format.py:_pack_plane)."""
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     m, d = codes.shape
-    cpw = 32 // bits
+    fph = 16 // field_bits
+    cpw = 2 * fph
     assert d % cpw == 0
     nw = d // cpw
     lib = _load()
     if lib is not None:
-        out = np.empty((m, nw), np.uint32)
-        rc = lib.quip_pack(codes.ctypes.data, out.ctypes.data, m, d, bits,
-                           _threads())
+        out = np.empty((nw, m), np.uint32)
+        rc = lib.quip_pack(codes.ctypes.data, out.ctypes.data, m, d,
+                           field_bits, _threads())
         if rc == 0:
             return out.view(np.int32)
-    # numpy fallback
-    c = codes.astype(np.uint32).reshape(m, cpw, nw)
-    word = np.zeros((m, nw), np.uint32)
-    for b in range(cpw):
-        word |= c[:, b, :] << (bits * b)
+    # numpy fallback: fan-in column c = k*(2*nw) + 2*j + h -> axes (k, j, h)
+    c = codes.astype(np.uint32).T.reshape(fph, nw, 2, m)
+    word = np.zeros((nw, m), np.uint32)
+    for k in range(fph):
+        for h in range(2):
+            word |= c[k, :, h, :] << (16 * h + field_bits * k)
     return word.view(np.int32)
 
 
-def unpack_np(words: np.ndarray, bits: int, d: int) -> np.ndarray:
+def unpack_plane_np(words: np.ndarray, field_bits: int, d: int) -> np.ndarray:
     words = np.ascontiguousarray(words).view(np.uint32)
-    m = words.shape[0]
+    nw, m = words.shape
     lib = _load()
     if lib is not None:
         out = np.empty((m, d), np.uint8)
-        rc = lib.quip_unpack(words.ctypes.data, out.ctypes.data, m, d, bits,
-                             _threads())
+        rc = lib.quip_unpack(words.ctypes.data, out.ctypes.data, m, d,
+                             field_bits, _threads())
         if rc == 0:
             return out
-    cpw = 32 // bits
-    nw = d // cpw
-    mask = np.uint32(2**bits - 1)
-    slabs = [((words >> np.uint32(bits * b)) & mask).astype(np.uint8)
-             for b in range(cpw)]
-    return np.concatenate(slabs, axis=1)
+    fph = 16 // field_bits
+    mask = np.uint32(2**field_bits - 1)
+    c = np.stack(
+        [np.stack([(words >> np.uint32(16 * h + field_bits * k)) & mask
+                   for h in range(2)], axis=1)
+         for k in range(fph)], axis=0)            # (fph, nw, 2, m)
+    return c.reshape(d, m).T.astype(np.uint8)
 
 
-def dequant_qfnb_np(words: np.ndarray, bits: int, d: int,
-                    scale: float) -> np.ndarray:
-    """Packed words -> dense float32 on the qfn-b grid (transcoding path)."""
-    words = np.ascontiguousarray(words).view(np.uint32)
-    m = words.shape[0]
+def _plane_splits(bits: int):
+    from quip_tpu.pack.format import PLANE_SPLITS
+    return PLANE_SPLITS[bits]
+
+
+def pack_np(codes: np.ndarray, bits: int):
+    """(m, d) uint8 codes -> tuple of int32 planes, mirroring
+    pack/format.py:pack_codes (composite widths split across planes)."""
+    planes = []
+    shift = 0
+    for field_bits, _ in _plane_splits(bits):
+        part = (codes >> shift) & ((1 << field_bits) - 1)
+        planes.append(pack_plane_np(part.astype(np.uint8), field_bits))
+        shift += field_bits
+    return tuple(planes)
+
+
+def unpack_np(planes, bits: int, d: int) -> np.ndarray:
+    out = None
+    shift = 0
+    for plane, (field_bits, _) in zip(planes, _plane_splits(bits)):
+        part = unpack_plane_np(plane, field_bits, d).astype(np.uint8)
+        out = part << shift if out is None else out | (part << shift)
+        shift += field_bits
+    return out
+
+
+def dequant_qfnb_np(planes, bits: int, d: int, scale: float) -> np.ndarray:
+    """Packed planes -> dense float32 on the qfn-b grid (transcoding path)."""
     lib = _load()
-    if lib is not None and bits in (2, 4, 8):
+    if lib is not None and bits in (2, 4):
+        words = np.ascontiguousarray(planes[0]).view(np.uint32)
+        m = words.shape[1]
         out = np.empty((m, d), np.float32)
         rc = lib.quip_dequant_qfnb(words.ctypes.data, out.ctypes.data, m, d,
                                    bits, float(scale), _threads())
         if rc == 0:
             return out
-    q = unpack_np(words, bits, d).astype(np.float32)
+    q = unpack_np(planes, bits, d).astype(np.float32)
     maxq = float(2**bits - 1)
     return ((q / maxq) * 2 - 1) * scale

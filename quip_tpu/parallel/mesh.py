@@ -72,14 +72,15 @@ def _spec_for_dense(name: str, ndim: int) -> P:
 
 def _packed_linear_spec(name: str, q: PackedLinear) -> PackedLinear:
     """PartitionSpecs for the children of a PackedLinear (same pytree
-    shape). Column-parallel shards the out-features (m) axis of the planes;
-    row-parallel shards the packed-words (fan-in) axis."""
+    shape). Planes are halfword-spread transposed (layers, nwords, m):
+    column-parallel shards the out-features (m, last) axis; row-parallel
+    shards the packed-words (fan-in, middle) axis."""
     if name in _COL_PARALLEL:
-        plane = P(None, "tp", None)
+        plane = P(None, None, "tp")
         scale = P(None, "tp", None)
         svec = P()
     elif name in _ROW_PARALLEL:
-        plane = P(None, None, "tp")
+        plane = P(None, "tp", None)
         scale = P()
         svec = P(None, "tp")     # scaleWH spans fan-in
     else:

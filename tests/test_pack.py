@@ -41,11 +41,16 @@ def test_dequant_matmul_interpret_matches_ref(rng, bits, qfn):
     else:
         scale = jnp.asarray(rng.random(m) * 0.1 + 0.01, jnp.float32)
         zero = jnp.asarray(rng.integers(0, 2**bits, m), jnp.float32)
-    want = np.asarray(dequant_matmul_ref(x, planes, scale, zero, bits=bits,
-                                         qfn=qfn))
+    # kernel semantics: y = bf16(x) @ Ŵᵀ accumulated in f32 (the MXU
+    # consumes bf16 operands) — compare the ref on the same bf16-cast x
+    x_bf = x.astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.asarray(dequant_matmul_ref(x_bf, planes, scale, zero,
+                                         bits=bits, qfn=qfn))
     got = np.asarray(dequant_matmul(x, planes, scale, zero, bits=bits,
                                     qfn=qfn, tile_m=128, interpret=True))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # residual: f32 accumulation-order noise around the folded 128-offset,
+    # ~ulp(128·Σ|x|) per output
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
 def test_packed_linear_dequantize_matches_pipeline(rng):
