@@ -159,3 +159,44 @@ def test_packed_model_other_widths(rng, wbits):
     ld = np.asarray(M.forward(qparams, tokens, cfg))
     lp = np.asarray(M.forward(packed, tokens, cfg))
     np.testing.assert_allclose(lp, ld, rtol=1e-3, atol=1e-3)
+
+
+def test_dequant_matmul_batch_tiled(rng):
+    """B > tile_b exercises the (B_tiles, m_tiles) grid (prefill path)."""
+    from quip_tpu.pack.format import pack_codes as _pack
+
+    B, m, d = 32, 256, 128
+    codes = jnp.asarray(rng.integers(0, 4, (m, d)), jnp.int32)
+    planes = _pack(codes, 2)
+    x = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+    scale = jnp.asarray(0.21, jnp.float32)
+    x_bf = x.astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.asarray(dequant_matmul_ref(x_bf, planes, scale, None,
+                                         bits=2, qfn="b"))
+    got = np.asarray(dequant_matmul(x, planes, scale, None, bits=2,
+                                    qfn="b", tile_m=128, tile_b=8,
+                                    interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_dequant_matmul_vmap_stacked_layers(rng):
+    """The model calls the kernel on layer-stacked planes under vmap/scan."""
+    from quip_tpu.pack.format import pack_codes as _pack
+
+    L, B, m, d = 3, 8, 256, 128
+    codes = jnp.asarray(rng.integers(0, 4, (L, m, d)), jnp.int32)
+    planes_l = [_pack(codes[i], 2) for i in range(L)]
+    planes = (jnp.stack([p[0] for p in planes_l]),)
+    xs = jnp.asarray(rng.standard_normal((L, B, d)), jnp.float32)
+    scale = jnp.asarray(rng.random(L) * 0.3 + 0.05, jnp.float32)
+
+    def one(x, plane, s):
+        return dequant_matmul(x, (plane,), s, None, bits=2, qfn="b",
+                              tile_m=128, interpret=True)
+
+    got = np.asarray(jax.vmap(one)(xs, planes[0], scale))
+    for i in range(L):
+        x_bf = xs[i].astype(jnp.bfloat16).astype(jnp.float32)
+        want = np.asarray(dequant_matmul_ref(x_bf, planes_l[i], scale[i],
+                                             None, bits=2, qfn="b"))
+        np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=1e-3)
