@@ -26,27 +26,33 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160):
+def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
+                 chunk=1):
+    """Decode throughput. chunk>1 scans multiple tokens per dispatch
+    (M.decode_scan); measured NEUTRAL-to-slower on this relay backend —
+    scan carries copy the KV cache per iteration here (docs/PERF.md) — so
+    the default is per-token dispatch."""
     from quip_tpu.models import model as M
 
     caches = M.init_caches(batch, max_seq, cfg, dtype=jnp.bfloat16)
 
     @jax.jit
-    def step(params, tok, caches):
-        logits, caches = M.decode_step(params, tok, caches, cfg)
-        return jnp.argmax(logits, -1)[:, None].astype(jnp.int32), caches
+    def run_chunk(params, tok, caches):
+        toks, caches = M.decode_scan(params, tok, caches, cfg, chunk)
+        return toks[:, -1:], caches
 
     tok = jnp.zeros((batch, 1), jnp.int32)
-    for _ in range(warmup):
-        tok, caches = step(params, tok, caches)
+    for _ in range(max(warmup // chunk, 1)):
+        tok, caches = run_chunk(params, tok, caches)
     int(tok[0, 0])          # hard sync (see module docstring)
 
+    n_chunks = max(steps // chunk, 1)
     t0 = time.time()
     tok_t, caches_t = tok, caches
-    for _ in range(steps):
-        tok_t, caches_t = step(params, tok_t, caches_t)
+    for _ in range(n_chunks):
+        tok_t, caches_t = run_chunk(params, tok_t, caches_t)
     int(tok_t[0, 0])        # end-of-chain hard sync
-    dt = (time.time() - t0) / steps
+    dt = (time.time() - t0) / (n_chunks * chunk)
     return batch / dt       # tokens/sec
 
 

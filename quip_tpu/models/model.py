@@ -349,6 +349,34 @@ def decode_step(
     return logits[:, -1, :], new_caches
 
 
+def decode_scan(
+    params: Params,
+    tokens: jax.Array,              # (B, 1) the last generated token
+    caches,                          # stacked KVCache (see decode_step)
+    cfg: ModelConfig,
+    n_steps: int,
+):
+    """Greedy-decode `n_steps` tokens inside ONE compiled program.
+
+    One dispatch per chunk instead of per token. On runtimes with working
+    buffer donation this also keeps cache updates in-place; NOTE on the
+    relayed TPU backend scan carries copy the cache per iteration, so this
+    measured neutral (160 ctx) to slower (1024 ctx) there — docs/PERF.md.
+
+    Returns (tokens (B, n_steps) int32, new caches).
+    """
+
+    def body(carry, _):
+        tok, caches = carry
+        logits, caches = decode_step(params, tok, caches, cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        return (nxt, caches), nxt[:, 0]
+
+    (_, caches), toks = lax.scan(body, (tokens, caches), None,
+                                 length=n_steps)
+    return toks.T, caches
+
+
 def init_caches(batch: int, max_len: int, cfg: ModelConfig,
                 dtype=jnp.float32) -> KVCache:
     """Stacked (n_layers-leading) KV caches for decode."""

@@ -189,6 +189,28 @@ class Engine:
             lambda params, tokens, lengths, k, v:
             _slot_attention_step(params, cfg, tokens, lengths, k, v))
 
+        # chunked decode: T tokens per dispatch inside one lax.scan, with
+        # in-graph sampling. Saves dispatches and, on runtimes with working
+        # buffer donation, per-token cache copies; measured neutral-to-slower
+        # through the relayed backend (scan carries copy the cache there) —
+        # see docs/PERF.md and Engine.run(chunked=...).
+        def decode_chunk(params, tokens, lengths, k, v, key, temps,
+                         n_steps, top_k):
+            def body(carry, _):
+                tokens, lengths, k, v, key = carry
+                logits, k, v = _slot_attention_step(params, cfg, tokens,
+                                                    lengths, k, v)
+                key, sk = jax.random.split(key)
+                tok = _sample(sk, logits, temps, top_k).astype(jnp.int32)
+                return (tok[:, None], lengths + 1, k, v, key), tok
+
+            (tokens, lengths, k, v, key), toks = lax.scan(
+                body, (tokens, lengths, k, v, key), None, length=n_steps)
+            return toks.T, k, v
+
+        self._decode_chunk = jax.jit(decode_chunk,
+                                     static_argnames=("n_steps", "top_k"))
+
         # prefill: run full prompt through the model once, capturing K/V.
         # Prompts are padded to power-of-two length buckets so the engine
         # compiles O(log max_seq) prefill programs, not one per prompt
@@ -305,13 +327,71 @@ class Engine:
                 newlen[i] = 0
         self.kv.lengths = jnp.asarray(newlen)
 
-    def run(self, requests: List[Dict], progress=False) -> List[Request]:
-        """Submit all, drive steps until done, return completed requests."""
+    def step_chunk(self, max_chunk: int = 16) -> int:
+        """Decode up to `max_chunk` tokens for all active slots in ONE
+        dispatch (lax.scan inside the jit — see decode_chunk). Falls back to
+        single `step()` when slots disagree on top_k or a slot would finish
+        mid-chunk. Returns the number of tokens decoded per slot."""
+        self._admit()
+        active = [i for i, r in enumerate(self._slots) if r is not None]
+        if not active:
+            return 0
+        lens = np.asarray(self.kv.lengths)
+        remaining = min(
+            min(self._slots[i].max_new_tokens + 1
+                - len(self._slots[i].generated) for i in active),
+            min(self.max_seq - 1 - int(lens[i]) for i in active),
+        )
+        ks = {self._slots[i].top_k for i in active}
+        # chunk length: power-of-two bucket (bounded compile count)
+        T = 2
+        while T * 2 <= min(remaining, max_chunk):
+            T *= 2
+        if remaining < 2 or len(ks) > 1:
+            self.step()
+            return 1
+        top_k = ks.pop()
+        last = np.zeros((self.max_batch, 1), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
+        for i in active:
+            last[i, 0] = self._slots[i].generated[-1]
+            temps[i] = self._slots[i].temperature
+        self.key, sk = jax.random.split(self.key)
+        toks, self.kv.k, self.kv.v = self._decode_chunk(
+            self.params, jnp.asarray(last), self.kv.lengths,
+            self.kv.k, self.kv.v, sk, jnp.asarray(temps),
+            n_steps=T, top_k=top_k)
+        toks = np.asarray(toks)                     # (B, T)
+        newlen = np.array(self.kv.lengths)
+        for i in active:
+            req = self._slots[i]
+            req.generated.extend(int(t) for t in toks[i])
+            newlen[i] += T
+            if (len(req.generated) >= req.max_new_tokens + 1
+                    or newlen[i] >= self.max_seq - 1):
+                req.done = True
+                self._slots[i] = None
+                newlen[i] = 0
+        self.kv.lengths = jnp.asarray(newlen)
+        return T
+
+    def run(self, requests: List[Dict], progress=False,
+            chunked: bool = False) -> List[Request]:
+        """Submit all, drive steps until done, return completed requests.
+
+        chunked=True decodes up to 16 tokens per dispatch (step_chunk) —
+        a win on runtimes with working buffer donation (fewer dispatches,
+        no per-token cache copies), but measured neutral-to-slower through
+        the relayed TPU backend where scan carries copy the cache anyway
+        (docs/PERF.md), hence off by default."""
         uids = [self.submit(**r) for r in requests]
         # keep handles: requests leave the slot table when retired
         all_reqs = {r.uid: r for r in self._queue}
         while any(s is not None for s in self._slots) or self._queue:
-            self.step()
+            if chunked:
+                self.step_chunk()
+            else:
+                self.step()
         return [all_reqs[uid] for uid in uids]
 
     def stream(self, prompt, max_new_tokens=64, temperature=0.0, top_k=0):

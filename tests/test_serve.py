@@ -198,3 +198,38 @@ def test_engine_stream(tiny_model):
     e2 = Engine(params, cfg, max_batch=2, max_seq=64)
     [req] = e2.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
     assert toks == req.generated
+
+
+def test_engine_chunked_matches_per_step(tiny_model):
+    """step_chunk (multi-token lax.scan decode) == per-token step()."""
+    cfg, params = tiny_model
+    prompts = [[1, 2, 3], [9, 8]]
+    a = Engine(params, cfg, max_batch=2, max_seq=64)
+    ra = a.run([dict(prompt=p, max_new_tokens=9) for p in prompts],
+               chunked=True)
+    b = Engine(params, cfg, max_batch=2, max_seq=64)
+    rb = b.run([dict(prompt=p, max_new_tokens=9) for p in prompts],
+               chunked=False)
+    for x, y in zip(ra, rb):
+        assert x.generated == y.generated
+
+
+def test_decode_scan_matches_decode_step(tiny_model):
+    cfg, params = tiny_model
+    B, T = 2, 5
+    caches = M.init_caches(B, 32, cfg)
+    tok = jnp.asarray([[3], [7]], jnp.int32)
+    # warm the cache with one step so lengths > 0
+    logits, caches = M.decode_step(params, tok, caches, cfg)
+    nxt = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+
+    toks_scan, _ = M.decode_scan(params, nxt, caches, cfg, T)
+
+    toks_loop = []
+    t, c = nxt, caches
+    for _ in range(T):
+        lg, c = M.decode_step(params, t, c, cfg)
+        t = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
+        toks_loop.append(np.asarray(t[:, 0]))
+    np.testing.assert_array_equal(np.asarray(toks_scan),
+                                  np.stack(toks_loop, axis=1))
