@@ -27,14 +27,15 @@ import jax.numpy as jnp
 
 
 def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
-                 chunk=1):
+                 chunk=1, kv_quant=False):
     """Decode throughput. chunk>1 scans multiple tokens per dispatch
     (M.decode_scan); measured NEUTRAL-to-slower on this relay backend —
     scan carries copy the KV cache per iteration here (docs/PERF.md) — so
     the default is per-token dispatch."""
     from quip_tpu.models import model as M
 
-    caches = M.init_caches(batch, max_seq, cfg, dtype=jnp.bfloat16)
+    caches = M.init_caches(batch, max_seq, cfg, dtype=jnp.bfloat16,
+                           quantized=kv_quant)
 
     @jax.jit
     def run_chunk(params, tok, caches):

@@ -25,6 +25,12 @@ def main(argv=None):
                    help="prompt(s); '-' reads one prompt per stdin line")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways over the device mesh")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8-quantize the KV cache (halves cache HBM "
+                        "traffic; ~15%% faster decode at 2048 ctx)")
+    p.add_argument("--chunked", action="store_true",
+                   help="decode up to 16 tokens per dispatch (best on "
+                        "runtimes with working buffer donation)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -51,11 +57,13 @@ def main(argv=None):
 
     from quip_tpu.serve.engine import Engine
     eng = Engine(params, cfg, max_batch=args.max_batch,
-                 max_seq=args.max_seq, seed=args.seed)
+                 max_seq=args.max_seq, kv_quant=args.kv_quant,
+                 seed=args.seed)
     t0 = time.time()
     reqs = eng.run([dict(prompt=tokenizer.encode(s),
                          max_new_tokens=args.max_new_tokens,
-                         temperature=args.temperature) for s in prompts])
+                         temperature=args.temperature) for s in prompts],
+                   chunked=args.chunked)
     dt = time.time() - t0
     total_toks = sum(len(r.generated) for r in reqs)
     for s, r in zip(prompts, reqs):

@@ -41,10 +41,22 @@ class ByteTokenizer:
 
 
 def load_hf_tokenizer(model_name: str):
-    """HF tokenizer (requires local cache or network)."""
+    """HF tokenizer from the local cache (or a local path).
+
+    Local-only by default: an offline container otherwise stalls ~60s in
+    hub DNS retries before failing. Set QUIP_TPU_HF_ONLINE=1 to allow a
+    network fetch on cache miss."""
+    import os
+
     from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(model_name, use_fast=False)
+    try:
+        tok = AutoTokenizer.from_pretrained(model_name, use_fast=False,
+                                            local_files_only=True)
+    except Exception:
+        if os.environ.get("QUIP_TPU_HF_ONLINE") != "1":
+            raise
+        tok = AutoTokenizer.from_pretrained(model_name, use_fast=False)
 
     class _Wrap:
         eot_token_id = tok.eos_token_id or 0

@@ -106,15 +106,40 @@ def alibi_slopes(n_heads: int) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    k: jax.Array        # (batch, max_len, kv_heads, hd)
+    """KV cache; optionally int8-quantized (halves HBM traffic AND the
+    whole-cache copies paid at jit boundaries on runtimes without buffer
+    donation — docs/PERF.md). Quantization is per (position, head):
+    k8 = round(127·k/absmax), scale = absmax/127. Both scales fold exactly
+    into the attention algebra (scores·ks after the K-dot, probs·vs before
+    the V-dot), so no dequantized cache is ever materialized."""
+
+    k: jax.Array        # (batch, max_len, kv_heads, hd) fp — or int8
     v: jax.Array
     length: jax.Array   # scalar int32: number of valid positions
+    ks: Optional[jax.Array] = None   # (batch, max_len, kv_heads) f32
+    vs: Optional[jax.Array] = None
 
     @staticmethod
-    def init(batch: int, max_len: int, cfg: ModelConfig, dtype) -> "KVCache":
+    def init(batch: int, max_len: int, cfg: ModelConfig, dtype,
+             quantized: bool = False) -> "KVCache":
         shape = (batch, max_len, cfg.kv_heads, cfg.hd)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                       jnp.zeros((), jnp.int32))
+        if not quantized:
+            return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                           jnp.zeros((), jnp.int32))
+        sshape = shape[:-1]
+        return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros((), jnp.int32),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
+
+
+def quantize_kv(x: jax.Array):
+    """(…, hd) -> int8 codes + per-(…)-row f32 scale (absmax/127)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def attention(
@@ -153,14 +178,29 @@ def attention(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+    ks_all = vs_all = None
     if cache is not None:
         start = cache.length
         zero = jnp.zeros((), start.dtype)
-        knew = lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
-                                        (zero, start, zero, zero))
-        vnew = lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
-                                        (zero, start, zero, zero))
-        cache = KVCache(knew, vnew, cache.length + S)
+        if cache.ks is not None:       # int8-quantized cache
+            k8, ksc = quantize_kv(k)
+            v8, vsc = quantize_kv(v)
+            knew = lax.dynamic_update_slice(cache.k, k8,
+                                            (zero, start, zero, zero))
+            vnew = lax.dynamic_update_slice(cache.v, v8,
+                                            (zero, start, zero, zero))
+            ks_new = lax.dynamic_update_slice(cache.ks, ksc,
+                                              (zero, start, zero))
+            vs_new = lax.dynamic_update_slice(cache.vs, vsc,
+                                              (zero, start, zero))
+            cache = KVCache(knew, vnew, cache.length + S, ks_new, vs_new)
+            ks_all, vs_all = ks_new, vs_new
+        else:
+            knew = lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
+                                            (zero, start, zero, zero))
+            vnew = lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
+                                            (zero, start, zero, zero))
+            cache = KVCache(knew, vnew, cache.length + S)
         k_all, v_all = knew, vnew
         L = k_all.shape[1]
     else:
@@ -171,9 +211,16 @@ def attention(
         rep = H // KV
         k_all = jnp.repeat(k_all, rep, axis=2)
         v_all = jnp.repeat(v_all, rep, axis=2)
+        if ks_all is not None:
+            ks_all = jnp.repeat(ks_all, rep, axis=2)
+            vs_all = jnp.repeat(vs_all, rep, axis=2)
 
     scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bshd,blhd->bhsl", q, k_all) * scale
+    logits = jnp.einsum("bshd,blhd->bhsl", q, k_all.astype(q.dtype)) * scale
+    if ks_all is not None:
+        # fold the per-(position, head) K scales in after the int8 dot
+        logits = logits * jnp.transpose(ks_all, (0, 2, 1))[:, :, None, :
+                                                           ].astype(logits.dtype)
 
     if cfg.positions == "alibi":
         slopes = alibi_slopes(H).astype(logits.dtype)     # (H,)
@@ -186,7 +233,12 @@ def attention(
     neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
     logits = jnp.where(mask[:, None, :, :], logits, neg)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhsl,blhd->bshd", probs, v_all).reshape(B, S, H * hd)
+    if vs_all is not None:
+        # fold the V scales into the probabilities before the int8 dot
+        probs = probs * jnp.transpose(vs_all, (0, 2, 1))[:, :, None, :
+                                                         ].astype(probs.dtype)
+    out = jnp.einsum("bhsl,blhd->bshd", probs,
+                     v_all.astype(probs.dtype)).reshape(B, S, H * hd)
 
     if taps is not None:
         taps["o_in"] = out
@@ -378,12 +430,20 @@ def decode_scan(
 
 
 def init_caches(batch: int, max_len: int, cfg: ModelConfig,
-                dtype=jnp.float32) -> KVCache:
-    """Stacked (n_layers-leading) KV caches for decode."""
+                dtype=jnp.float32, quantized: bool = False) -> KVCache:
+    """Stacked (n_layers-leading) KV caches for decode. quantized=True
+    stores int8 codes + per-(position, head) scales (see KVCache)."""
     shape = (cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.hd)
+    if not quantized:
+        return KVCache(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            jnp.zeros((cfg.n_layers,), jnp.int32),
+        )
     return KVCache(
-        jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
         jnp.zeros((cfg.n_layers,), jnp.int32),
+        jnp.zeros(shape[:-1], jnp.float32),
+        jnp.zeros(shape[:-1], jnp.float32),
     )
 
 

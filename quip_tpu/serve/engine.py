@@ -42,25 +42,32 @@ class Request:
 
 class BatchedKV:
     """(layers, max_batch, max_seq, kv_heads, hd) slot arena with per-slot
-    lengths."""
+    lengths. quantize=True stores int8 codes + per-(slot, position, head)
+    scales (halved HBM traffic and jit-boundary copies — model.KVCache)."""
 
     def __init__(self, cfg: ModelConfig, max_batch: int, max_seq: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, quantize: bool = False):
         shape = (cfg.n_layers, max_batch, max_seq, cfg.kv_heads, cfg.hd)
-        self.k = jnp.zeros(shape, dtype)
-        self.v = jnp.zeros(shape, dtype)
+        self.quantize = quantize
+        dt = jnp.int8 if quantize else dtype
+        self.k = jnp.zeros(shape, dt)
+        self.v = jnp.zeros(shape, dt)
+        self.ks = jnp.zeros(shape[:-1], jnp.float32) if quantize else None
+        self.vs = jnp.zeros(shape[:-1], jnp.float32) if quantize else None
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
 
 
-def _slot_attention_step(params, cfg, tokens, lengths, k_arena, v_arena):
+def _slot_attention_step(params, cfg, tokens, lengths, arena):
     """One decode token for every slot. tokens (B, 1); lengths (B,).
 
-    Returns (logits (B, V), new k/v arenas). Inactive slots (length 0) still
+    arena: (k, v, ks, vs) stacked over layers; ks/vs are None for fp caches
+    and per-(slot, position, head) f32 scales for int8-quantized ones.
+    Returns (logits (B, V), new arena). Inactive slots (length 0) still
     compute but their outputs are ignored by the host loop.
     """
     B = tokens.shape[0]
     positions = lengths[:, None]                      # (B, 1)
-    Lmax = k_arena.shape[2]
+    Lmax = arena[0].shape[2]
     key_pos = jnp.arange(Lmax)[None, None, :]
     mask = key_pos <= positions[:, :, None]           # (B, 1, L)
 
@@ -68,12 +75,12 @@ def _slot_attention_step(params, cfg, tokens, lengths, k_arena, v_arena):
 
     def body(carry, layer):
         x = carry
-        layer_params, k_l, v_l = layer
+        layer_params, arena_l = layer
         # manual per-slot cache update at each slot's own length
         h = (M.norm(layer_params["ln1"], x, cfg)
              if cfg.do_layer_norm_before else x)
-        a, knew, vnew = _attn_steps(layer_params["attn"], h, cfg, positions,
-                                    mask, k_l, v_l, lengths)
+        a, arena_l = _attn_steps(layer_params["attn"], h, cfg, positions,
+                                 mask, arena_l, lengths)
         x = x + a
         if not cfg.do_layer_norm_before:
             x = M.norm(layer_params["ln1"], x, cfg)
@@ -84,22 +91,24 @@ def _slot_attention_step(params, cfg, tokens, lengths, k_arena, v_arena):
         x = res + m
         if not cfg.do_layer_norm_before:
             x = M.norm(layer_params["ln2"], x, cfg)
-        return x, (knew, vnew)
+        return x, arena_l
 
-    x, (knew, vnew) = lax.scan(body, x, (params["blocks"], k_arena, v_arena))
+    x, arena = lax.scan(body, x, (params["blocks"], arena))
     logits = M.unembed(params, x, cfg)
-    return logits[:, -1, :], knew, vnew
+    return logits[:, -1, :], arena
 
 
-def _attn_steps(p, x, cfg, positions, mask, k_arena, v_arena, lengths):
+def _attn_steps(p, x, cfg, positions, mask, arena_l, lengths):
     """Attention for a (B, 1) step against per-slot caches.
 
-    k_arena/v_arena: (B, L, KV, hd). Each slot writes its new K/V at its own
-    length (vmapped dynamic_update_slice — the TPU version of paged-attention
-    row updates).
+    arena_l: (k, v, ks, vs) with k/v (B, L, KV, hd). Each slot writes its
+    new K/V at its own length (vmapped dynamic_update_slice — the TPU
+    version of paged-attention row updates). int8 arenas (ks/vs not None)
+    fold the scales around the dots exactly (model.KVCache docstring).
     """
     from quip_tpu.ops.qlinear import linear_apply
 
+    k_arena, v_arena, ks_arena, vs_arena = arena_l
     B, S, D = x.shape
     H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
     if "wqkv" in p:
@@ -126,17 +135,37 @@ def _attn_steps(p, x, cfg, positions, mask, k_arena, v_arena, lengths):
         return lax.dynamic_update_slice(
             arena_b, new_b.astype(arena_b.dtype), (ln, zero, zero))
 
-    knew = jax.vmap(upd)(k_arena, k, lengths)
-    vnew = jax.vmap(upd)(v_arena, v, lengths)
+    def upd_s(arena_b, new_b, ln):
+        return lax.dynamic_update_slice(
+            arena_b, new_b, (ln, jnp.zeros((), ln.dtype)))
+
+    ks_new = vs_new = None
+    if ks_arena is not None:
+        k8, ksc = M.quantize_kv(k)
+        v8, vsc = M.quantize_kv(v)
+        knew = jax.vmap(upd)(k_arena, k8, lengths)
+        vnew = jax.vmap(upd)(v_arena, v8, lengths)
+        ks_new = jax.vmap(upd_s)(ks_arena, ksc, lengths)
+        vs_new = jax.vmap(upd_s)(vs_arena, vsc, lengths)
+    else:
+        knew = jax.vmap(upd)(k_arena, k, lengths)
+        vnew = jax.vmap(upd)(v_arena, v, lengths)
 
     k_all, v_all = knew, vnew
+    ks_all, vs_all = ks_new, vs_new
     if KV != H:
         rep = H // KV
         k_all = jnp.repeat(k_all, rep, axis=2)
         v_all = jnp.repeat(v_all, rep, axis=2)
+        if ks_all is not None:
+            ks_all = jnp.repeat(ks_all, rep, axis=2)
+            vs_all = jnp.repeat(vs_all, rep, axis=2)
 
     scale = 1.0 / float(np.sqrt(hd))
-    logits = jnp.einsum("bshd,blhd->bhsl", q, k_all) * scale
+    logits = jnp.einsum("bshd,blhd->bhsl", q, k_all.astype(q.dtype)) * scale
+    if ks_all is not None:
+        logits = logits * jnp.transpose(ks_all, (0, 2, 1))[:, :, None, :
+                                                           ].astype(logits.dtype)
     if cfg.positions == "alibi":
         slopes = M.alibi_slopes(H).astype(logits.dtype)
         key_pos = jnp.arange(k_all.shape[1])[None, None, None, :]
@@ -145,9 +174,13 @@ def _attn_steps(p, x, cfg, positions, mask, k_arena, v_arena, lengths):
     neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
     logits = jnp.where(mask[:, None, :, :], logits, neg)
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-    out = jnp.einsum("bhsl,blhd->bshd", probs, v_all).reshape(B, S, H * hd)
+    if vs_all is not None:
+        probs = probs * jnp.transpose(vs_all, (0, 2, 1))[:, :, None, :
+                                                         ].astype(probs.dtype)
+    out = jnp.einsum("bhsl,blhd->bshd", probs,
+                     v_all.astype(probs.dtype)).reshape(B, S, H * hd)
     out = linear_apply(p["wo"], out) + p.get("bo", 0.0)
-    return out, knew, vnew
+    return out, (knew, vnew, ks_new, vs_new)
 
 
 def _sample(key, logits, temperature, top_k: int = 0):
@@ -174,39 +207,41 @@ class Engine:
 
     def __init__(self, params: Dict[str, Any], cfg: ModelConfig, *,
                  max_batch: int = 8, max_seq: int = 512,
-                 cache_dtype=jnp.float32, seed: int = 0):
+                 cache_dtype=jnp.float32, kv_quant: bool = False,
+                 seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_seq = max_seq
-        self.kv = BatchedKV(cfg, max_batch, max_seq, cache_dtype)
+        self.kv = BatchedKV(cfg, max_batch, max_seq, cache_dtype,
+                            quantize=kv_quant)
         self.key = jax.random.PRNGKey(seed)
         self._slots: List[Optional[Request]] = [None] * max_batch
         self._queue: List[Request] = []
         self._uid = 0
 
         self._decode = jax.jit(
-            lambda params, tokens, lengths, k, v:
-            _slot_attention_step(params, cfg, tokens, lengths, k, v))
+            lambda params, tokens, lengths, arena:
+            _slot_attention_step(params, cfg, tokens, lengths, arena))
 
         # chunked decode: T tokens per dispatch inside one lax.scan, with
         # in-graph sampling. Saves dispatches and, on runtimes with working
         # buffer donation, per-token cache copies; measured neutral-to-slower
         # through the relayed backend (scan carries copy the cache there) —
         # see docs/PERF.md and Engine.run(chunked=...).
-        def decode_chunk(params, tokens, lengths, k, v, key, temps,
+        def decode_chunk(params, tokens, lengths, arena, key, temps,
                          n_steps, top_k):
             def body(carry, _):
-                tokens, lengths, k, v, key = carry
-                logits, k, v = _slot_attention_step(params, cfg, tokens,
-                                                    lengths, k, v)
+                tokens, lengths, arena, key = carry
+                logits, arena = _slot_attention_step(params, cfg, tokens,
+                                                     lengths, arena)
                 key, sk = jax.random.split(key)
                 tok = _sample(sk, logits, temps, top_k).astype(jnp.int32)
-                return (tok[:, None], lengths + 1, k, v, key), tok
+                return (tok[:, None], lengths + 1, arena, key), tok
 
-            (tokens, lengths, k, v, key), toks = lax.scan(
-                body, (tokens, lengths, k, v, key), None, length=n_steps)
-            return toks.T, k, v
+            (tokens, lengths, arena, key), toks = lax.scan(
+                body, (tokens, lengths, arena, key), None, length=n_steps)
+            return toks.T, arena
 
         self._decode_chunk = jax.jit(decode_chunk,
                                      static_argnames=("n_steps", "top_k"))
@@ -215,7 +250,7 @@ class Engine:
         # Prompts are padded to power-of-two length buckets so the engine
         # compiles O(log max_seq) prefill programs, not one per prompt
         # length. ``plen`` masks the padding out of the cache/logits.
-        def prefill(params, tokens, plen, k_arena, v_arena, slot):
+        def prefill(params, tokens, plen, arena, slot):
             B, S = tokens.shape
             positions = jnp.broadcast_to(jnp.arange(S), (B, S))
             # keys live in the (max_seq)-long cache arena: causal w.r.t.
@@ -226,30 +261,43 @@ class Engine:
             x = M.embed(params, tokens, cfg, positions)
 
             def body(x, layer):
-                layer_params, k_l, v_l = layer
+                layer_params, arena_l = layer
+                k_l, v_l, ks_l, vs_l = arena_l
+                fpdt = jnp.bfloat16 if k_l.dtype == jnp.int8 else k_l.dtype
                 cache = M.KVCache(
-                    jnp.zeros((B, self.max_seq, cfg.kv_heads, cfg.hd),
-                              k_arena.dtype),
-                    jnp.zeros((B, self.max_seq, cfg.kv_heads, cfg.hd),
-                              v_arena.dtype),
+                    jnp.zeros((B, self.max_seq, cfg.kv_heads, cfg.hd), fpdt),
+                    jnp.zeros((B, self.max_seq, cfg.kv_heads, cfg.hd), fpdt),
                     jnp.zeros((), jnp.int32))
                 y, cache, _ = M.block_apply(layer_params, x, cfg, positions,
                                             mask, cache)
                 zero = jnp.zeros((), slot.dtype)
+                ck, cv = cache.k[0], cache.v[0]
+                if ks_l is not None:
+                    ck, ksc = M.quantize_kv(ck)
+                    cv, vsc = M.quantize_kv(cv)
+                    ks_l = lax.dynamic_update_slice(
+                        ks_l, ksc[None], (slot, zero, zero))
+                    vs_l = lax.dynamic_update_slice(
+                        vs_l, vsc[None], (slot, zero, zero))
                 kn = lax.dynamic_update_slice(
-                    k_l, cache.k[0][None], (slot, zero, zero, zero))
+                    k_l, ck[None].astype(k_l.dtype), (slot, zero, zero, zero))
                 vn = lax.dynamic_update_slice(
-                    v_l, cache.v[0][None], (slot, zero, zero, zero))
-                return y, (kn, vn)
+                    v_l, cv[None].astype(v_l.dtype), (slot, zero, zero, zero))
+                return y, (kn, vn, ks_l, vs_l)
 
-            x, (knew, vnew) = lax.scan(
-                body, x, (params["blocks"], k_arena, v_arena))
+            x, arena = lax.scan(body, x, (params["blocks"], arena))
             logits = M.unembed(params, x, cfg)
             # last *real* (unpadded) position's logits
             last = lax.dynamic_slice_in_dim(logits, plen - 1, 1, axis=1)
-            return last[:, 0, :], knew, vnew
+            return last[:, 0, :], arena
 
         self._prefill = jax.jit(prefill)
+
+    def _arena(self):
+        return (self.kv.k, self.kv.v, self.kv.ks, self.kv.vs)
+
+    def _set_arena(self, arena):
+        self.kv.k, self.kv.v, self.kv.ks, self.kv.vs = arena
 
     # -- public API ---------------------------------------------------------
 
@@ -275,10 +323,11 @@ class Engine:
                 bucket = min(bucket, self.max_seq)
                 padded = np.zeros((1, bucket), np.int32)
                 padded[0, :plen] = req.prompt
-                logits, self.kv.k, self.kv.v = self._prefill(
+                logits, arena = self._prefill(
                     self.params, jnp.asarray(padded),
-                    jnp.asarray(plen, jnp.int32), self.kv.k, self.kv.v,
+                    jnp.asarray(plen, jnp.int32), self._arena(),
                     jnp.asarray(i, jnp.int32))
+                self._set_arena(arena)
                 self.kv.lengths = self.kv.lengths.at[i].set(plen)
                 # first generated token comes from the prefill logits
                 self.key, sk = jax.random.split(self.key)
@@ -297,9 +346,9 @@ class Engine:
         last = np.zeros((self.max_batch, 1), np.int32)
         for i in active:
             last[i, 0] = self._slots[i].generated[-1]
-        logits, self.kv.k, self.kv.v = self._decode(
-            self.params, jnp.asarray(last), self.kv.lengths,
-            self.kv.k, self.kv.v)
+        logits, arena = self._decode(
+            self.params, jnp.asarray(last), self.kv.lengths, self._arena())
+        self._set_arena(arena)
         self.key, sk = jax.random.split(self.key)
         temps = np.zeros((self.max_batch,), np.float32)
         for i in active:
@@ -357,10 +406,10 @@ class Engine:
             last[i, 0] = self._slots[i].generated[-1]
             temps[i] = self._slots[i].temperature
         self.key, sk = jax.random.split(self.key)
-        toks, self.kv.k, self.kv.v = self._decode_chunk(
-            self.params, jnp.asarray(last), self.kv.lengths,
-            self.kv.k, self.kv.v, sk, jnp.asarray(temps),
-            n_steps=T, top_k=top_k)
+        toks, arena = self._decode_chunk(
+            self.params, jnp.asarray(last), self.kv.lengths, self._arena(),
+            sk, jnp.asarray(temps), n_steps=T, top_k=top_k)
+        self._set_arena(arena)
         toks = np.asarray(toks)                     # (B, T)
         newlen = np.array(self.kv.lengths)
         for i in active:
