@@ -52,6 +52,43 @@ def hessian_summary(H, percdamp: float = 0.01) -> Tuple[float, float, float,
     return a, k00, k01, mu
 
 
+def eigenspectrum_csv(path: str, hessians: Dict[str, np.ndarray],
+                      percdamp: float = 0.01) -> None:
+    """Per-Hessian eigenvalue spectra as CSV, one column per layer
+    (compute_Hsummary.py:72-83 parity; descending eigenvalues)."""
+    cols = {}
+    for name, H in hessians.items():
+        H = np.asarray(H, np.float64)
+        n = H.shape[0]
+        Hd = H + percdamp * np.mean(np.diag(H)) * np.eye(n)
+        ev = np.linalg.eigvalsh(Hd)[::-1]
+        cols[name] = ev
+    width = max(len(v) for v in cols.values())
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(",".join(cols.keys()) + "\n")
+        for i in range(width):
+            f.write(",".join(
+                f"{v[i]:.8g}" if i < len(v) else "" for v in cols.values())
+                + "\n")
+
+
+def hessian_summary_sweep(hessians: Dict[str, np.ndarray],
+                          percdamp: float = 0.01,
+                          pickle_path: Optional[str] = None) -> dict:
+    """Summary stats over a set of Hessians; optional pickle dump
+    (compute_Hsummary.py:33-57 folder sweep + pickle parity)."""
+    rows = {name: hessian_summary(H, percdamp)
+            for name, H in hessians.items()}
+    if pickle_path:
+        import pickle
+
+        os.makedirs(os.path.dirname(pickle_path) or ".", exist_ok=True)
+        with open(pickle_path, "wb") as f:
+            pickle.dump(rows, f)
+    return rows
+
+
 def proxy_eval(
     params,
     cfg,

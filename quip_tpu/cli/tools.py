@@ -44,6 +44,12 @@ def main(argv=None):
                                          "(compute_Hsummary.py parity)")
     ph.add_argument("--hessians", required=True)
     ph.add_argument("--percdamp", type=float, default=0.01)
+    ph.add_argument("--eigens_csv", type=str, default=None,
+                    help="also dump per-layer eigenvalue spectra "
+                         "(compute_Hsummary.py:72-83)")
+    ph.add_argument("--pickle", type=str, default=None,
+                    help="dump the summary dict as pickle "
+                         "(compute_Hsummary.py:33-57)")
 
     pe = sub.add_parser("equiv-check",
                         help="LDLQ == OPTQ equivalence (optq_ldlq_equiv.py)")
@@ -104,6 +110,13 @@ def main(argv=None):
               f"(+/- {arr[:, 2].std():.4f})")
         print(f"incoherency mu: {arr[:, 3].mean():.4f} "
               f"(+/- {arr[:, 3].std():.4f})")
+        if args.eigens_csv:
+            analysis.eigenspectrum_csv(args.eigens_csv, Hs, args.percdamp)
+            print(f"wrote eigenspectra to {args.eigens_csv}")
+        if args.pickle:
+            analysis.hessian_summary_sweep(Hs, args.percdamp,
+                                           pickle_path=args.pickle)
+            print(f"wrote summary pickle to {args.pickle}")
 
     elif args.cmd == "equiv-check":
         out = analysis.optq_ldlq_equivalence_check(args.m, args.d,

@@ -96,3 +96,34 @@ def test_quantize_cli_fuse_and_resume(tmp_path, capsys):
                    "--incoh_processing", "--fuse", "--resume_dir", rdir])
     out2 = capsys.readouterr().out
     assert "(resumed)" in out2
+
+
+def test_tools_hsummary_exports(tmp_path, capsys):
+    """hsummary --eigens_csv/--pickle (compute_Hsummary.py:33-83 parity)."""
+    import pickle
+
+    import numpy as np
+
+    from quip_tpu import analysis
+    from quip_tpu.cli import tools
+
+    rng = np.random.default_rng(0)
+    Hs = {}
+    for name, n in [("layers.0.q", 24), ("layers.0.k", 24)]:
+        X = rng.standard_normal((64, n))
+        Hs[name] = X.T @ X / 64
+    hpath = str(tmp_path / "H.npz")
+    analysis.save_hessians_npz(hpath, Hs)
+    csv = str(tmp_path / "eig.csv")
+    pkl = str(tmp_path / "summary.pkl")
+    tools.main(["hsummary", "--hessians", hpath,
+                "--eigens_csv", csv, "--pickle", pkl])
+    header = open(csv).readline().strip().split(",")
+    assert header == list(Hs.keys())
+    rows = open(csv).read().strip().splitlines()
+    assert len(rows) == 25  # header + 24 eigenvalues
+    ev0 = [float(r.split(",")[0]) for r in rows[1:]]
+    assert ev0 == sorted(ev0, reverse=True)
+    with open(pkl, "rb") as f:
+        summary = pickle.load(f)
+    assert set(summary) == set(Hs)
