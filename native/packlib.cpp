@@ -32,14 +32,21 @@ inline bool valid_field_bits(int bits) {
   return bits == 1 || bits == 2 || bits == 4;
 }
 
-// pack word-rows [j0, j1) of the (nw, m) output from an (m, d) code matrix
-void pack_wordrows(const uint8_t* codes, uint32_t* out, int64_t m, int64_t d,
-                   int bits, int64_t j0, int64_t j1) {
+// Both directions iterate 64-weight-row sub-blocks so the large (m, d)
+// byte-matrix side stays L2-resident per block (64 rows x d<=32k columns
+// is <=2 MB), while the packed side is touched in short contiguous runs of
+// 64 words per word-row j.
+constexpr int64_t kRowBlock = 64;
+
+void pack_rowblock(const uint8_t* codes, uint32_t* out, int64_t m, int64_t d,
+                   int bits, int64_t ib0, int64_t ib1) {
   const int fph = 16 / bits;        // fields per 16-bit half
   const int64_t nw = d / (2 * fph); // words per fan-in row
-  for (int64_t j = j0; j < j1; ++j) {
+  for (int64_t b = ib0; b < ib1; b += kRowBlock) {
+  const int64_t i0 = b, i1 = std::min<int64_t>(ib1, b + kRowBlock);
+  for (int64_t j = 0; j < nw; ++j) {
     uint32_t* orow = out + j * m;
-    for (int64_t i = 0; i < m; ++i) {
+    for (int64_t i = i0; i < i1; ++i) {
       const uint8_t* crow = codes + i * d;
       uint32_t w = 0;
       for (int k = 0; k < fph; ++k) {
@@ -50,16 +57,19 @@ void pack_wordrows(const uint8_t* codes, uint32_t* out, int64_t m, int64_t d,
       orow[i] = w;
     }
   }
+  }
 }
 
-void unpack_wordrows(const uint32_t* words, uint8_t* out, int64_t m,
-                     int64_t d, int bits, int64_t j0, int64_t j1) {
+void unpack_rowblock(const uint32_t* words, uint8_t* out, int64_t m,
+                     int64_t d, int bits, int64_t ib0, int64_t ib1) {
   const int fph = 16 / bits;
   const int64_t nw = d / (2 * fph);
   const uint32_t mask = (1u << bits) - 1u;
-  for (int64_t j = j0; j < j1; ++j) {
+  for (int64_t b = ib0; b < ib1; b += kRowBlock) {
+  const int64_t i0 = b, i1 = std::min<int64_t>(ib1, b + kRowBlock);
+  for (int64_t j = 0; j < nw; ++j) {
     const uint32_t* wrow = words + j * m;
-    for (int64_t i = 0; i < m; ++i) {
+    for (int64_t i = i0; i < i1; ++i) {
       const uint32_t w = wrow[i];
       uint8_t* crow = out + i * d;
       for (int k = 0; k < fph; ++k) {
@@ -68,6 +78,7 @@ void unpack_wordrows(const uint32_t* words, uint8_t* out, int64_t m,
         crow[c + 1] = static_cast<uint8_t>((w >> (16 + bits * k)) & mask);
       }
     }
+  }
   }
 }
 
@@ -99,9 +110,8 @@ int quip_pack(const uint8_t* codes, uint32_t* out, int64_t m, int64_t d,
   if (!valid_field_bits(bits)) return 1;
   const int cpw = 32 / bits;
   if (d % cpw != 0) return 2;
-  const int64_t nw = d / cpw;
-  parallel_range(nw, threads, [&](int64_t j0, int64_t j1) {
-    pack_wordrows(codes, out, m, d, bits, j0, j1);
+  parallel_range(m, threads, [&](int64_t i0, int64_t i1) {
+    pack_rowblock(codes, out, m, d, bits, i0, i1);
   });
   return 0;
 }
@@ -111,9 +121,8 @@ int quip_unpack(const uint32_t* words, uint8_t* out, int64_t m, int64_t d,
   if (!valid_field_bits(bits)) return 1;
   const int cpw = 32 / bits;
   if (d % cpw != 0) return 2;
-  const int64_t nw = d / cpw;
-  parallel_range(nw, threads, [&](int64_t j0, int64_t j1) {
-    unpack_wordrows(words, out, m, d, bits, j0, j1);
+  parallel_range(m, threads, [&](int64_t i0, int64_t i1) {
+    unpack_rowblock(words, out, m, d, bits, i0, i1);
   });
   return 0;
 }
@@ -131,10 +140,12 @@ int quip_dequant_qfnb(const uint32_t* words, float* out, int64_t m,
   const uint32_t mask = (1u << bits) - 1u;
   const float maxq = static_cast<float>((1 << bits) - 1);
   const float a = 2.0f * scale / maxq;
-  parallel_range(nw, threads, [&](int64_t j0, int64_t j1) {
-    for (int64_t j = j0; j < j1; ++j) {
+  parallel_range(m, threads, [&](int64_t ib0, int64_t ib1) {
+    for (int64_t b = ib0; b < ib1; b += kRowBlock) {
+    const int64_t i0 = b, i1 = std::min<int64_t>(ib1, b + kRowBlock);
+    for (int64_t j = 0; j < nw; ++j) {
       const uint32_t* wrow = words + j * m;
-      for (int64_t i = 0; i < m; ++i) {
+      for (int64_t i = i0; i < i1; ++i) {
         const uint32_t w = wrow[i];
         float* orow = out + i * d;
         for (int k = 0; k < fph; ++k) {
@@ -144,6 +155,7 @@ int quip_dequant_qfnb(const uint32_t* words, float* out, int64_t m,
               a * static_cast<float>((w >> (16 + bits * k)) & mask) - scale;
         }
       }
+    }
     }
   });
   return 0;

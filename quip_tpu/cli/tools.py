@@ -114,8 +114,9 @@ def main(argv=None):
             analysis.eigenspectrum_csv(args.eigens_csv, Hs, args.percdamp)
             print(f"wrote eigenspectra to {args.eigens_csv}")
         if args.pickle:
-            analysis.hessian_summary_sweep(Hs, args.percdamp,
-                                           pickle_path=args.pickle)
+            import pickle as _pickle
+            with open(args.pickle, "wb") as f:
+                _pickle.dump({r[0]: tuple(r[1:]) for r in rows}, f)
             print(f"wrote summary pickle to {args.pickle}")
 
     elif args.cmd == "equiv-check":

@@ -43,10 +43,12 @@ class ByteTokenizer:
 def load_hf_tokenizer(model_name: str):
     """HF tokenizer from the local cache (or a local path).
 
-    Local-only by default: an offline container otherwise stalls ~60s in
-    hub DNS retries before failing. Set QUIP_TPU_HF_ONLINE=1 to allow a
-    network fetch on cache miss."""
+    Cache-first: on a cache miss we attempt the network only if the hub
+    host resolves (a single fast DNS probe) — an offline container
+    otherwise stalls ~60 s in hub retry backoff before failing. Set
+    QUIP_TPU_HF_ONLINE=0/1 to force the decision either way."""
     import os
+    import socket
 
     from transformers import AutoTokenizer
 
@@ -54,8 +56,16 @@ def load_hf_tokenizer(model_name: str):
         tok = AutoTokenizer.from_pretrained(model_name, use_fast=False,
                                             local_files_only=True)
     except Exception:
-        if os.environ.get("QUIP_TPU_HF_ONLINE") != "1":
+        force = os.environ.get("QUIP_TPU_HF_ONLINE")
+        if force == "0":
             raise
+        if force != "1":
+            try:
+                socket.getaddrinfo("huggingface.co", 443)
+            except OSError:
+                raise LookupError(
+                    f"tokenizer for {model_name!r} not in the local HF "
+                    f"cache and huggingface.co is unreachable") from None
         tok = AutoTokenizer.from_pretrained(model_name, use_fast=False)
 
     class _Wrap:

@@ -99,12 +99,17 @@ def _kernel(plane_fields, plane_weights, qfn, maxq, nplanes,
 
 
 def default_tile_m(m: int, d: int) -> int:
-    """Largest lane-aligned m-tile keeping the unpacked (d, TM) bf16 operand
-    + packed tiles comfortably inside VMEM (~13 MB working set)."""
-    t = 512
-    while t > 128 and (d * t * 3 > 13e6 or m % t):
-        t //= 2
-    return min(t, m)
+    """Largest m-tile that (a) divides m and (b) keeps the unpacked (d, TM)
+    bf16 operand + packed tiles comfortably inside VMEM (~13 MB working
+    set). Prefers lane-aligned power-of-two tiles; falls back to any
+    divisor of m (Mosaic pads odd tiles) so e.g. m=160 still lowers."""
+    budget = lambda t: d * t * 3 <= 13e6
+    for t in (512, 256, 128):
+        if m % t == 0 and budget(t):
+            return t
+    if budget(m):
+        return m
+    return max(t for t in range(1, m + 1) if m % t == 0 and budget(t))
 
 
 def _default_tile_b(B: int) -> int:

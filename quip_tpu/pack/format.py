@@ -38,6 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Packed-plane layout version. v1 = slab-major (m, nwords) planes;
+# v2 = halfword-spread transposed (nwords, m) planes (the bf16-direct
+# kernel layout). Checkpoints and resume files record this; loaders reject
+# mismatches instead of feeding the kernel transposed garbage.
+PACK_FORMAT_VERSION = 2
+
 # (field bit width, code-combine weight) per plane, keyed by total width
 PLANE_SPLITS = {
     2: ((2, 1),),

@@ -73,6 +73,8 @@ def save_checkpoint(path: str, params: Dict[str, Any],
     holding the treedef repr and metadata. PackedLinear aux data round-trips
     through the pytree registry.
     """
+    from quip_tpu.pack.format import PACK_FORMAT_VERSION
+
     os.makedirs(path, exist_ok=True)
     leaves, treedef = jax.tree.flatten(params)
     np.savez(os.path.join(path, "arrays.npz"),
@@ -81,14 +83,23 @@ def save_checkpoint(path: str, params: Dict[str, Any],
         "treedef": _treedef_to_json(params),
         "meta": meta or {},
         "n_leaves": len(leaves),
+        "pack_format_version": PACK_FORMAT_VERSION,
     }
     with open(os.path.join(path, "tree.json"), "w") as f:
         json.dump(spec, f)
 
 
 def load_checkpoint(path: str) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    from quip_tpu.pack.format import PACK_FORMAT_VERSION
+
     with open(os.path.join(path, "tree.json")) as f:
         spec = json.load(f)
+    ver = spec.get("pack_format_version", 1)
+    if ver != PACK_FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint at {path} uses packed-plane layout v{ver}; this "
+            f"build reads v{PACK_FORMAT_VERSION} (halfword-spread "
+            f"transposed). Re-quantize or transcode the checkpoint.")
     data = np.load(os.path.join(path, "arrays.npz"))
     leaves = [jnp.asarray(data[f"leaf_{i}"])
               for i in range(spec["n_leaves"])]

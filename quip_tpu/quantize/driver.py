@@ -248,9 +248,12 @@ def _resume_path(resume_dir: str, li: int) -> str:
 def _save_resume_layer(resume_dir: str, li: int, layer, errors) -> None:
     import numpy as np
 
+    from quip_tpu.pack.format import PACK_FORMAT_VERSION
+
     leaves, _ = jax.tree.flatten(layer)
     np.savez(
         _resume_path(resume_dir, li),
+        __format_version__=np.asarray(PACK_FORMAT_VERSION, np.int64),
         __errors__=np.asarray(list(errors.values()), np.float64),
         __error_names__=np.asarray(list(errors.keys())),
         **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
@@ -266,10 +269,25 @@ def _load_resume_layer(resume_dir, li, template):
     path = _resume_path(resume_dir, li)
     if not os.path.exists(path):
         return None
+    from quip_tpu.pack.format import PACK_FORMAT_VERSION
+
     data = np.load(path, allow_pickle=False)
+    ver = int(data["__format_version__"]) if "__format_version__" in \
+        data.files else 1
+    if ver != PACK_FORMAT_VERSION:
+        raise ValueError(
+            f"resume file {path} uses packed-plane layout v{ver}; this "
+            f"build writes v{PACK_FORMAT_VERSION}. Delete the resume dir "
+            f"and re-run the quantization.")
     n = len([k for k in data.files if k.startswith("leaf_")])
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     treedef = jax.tree.structure(template)
+    tmpl_leaves = jax.tree.leaves(template)
+    for i, (got, want) in enumerate(zip(leaves, tmpl_leaves)):
+        if got.shape != jnp.shape(want):
+            raise ValueError(
+                f"resume file {path} leaf {i} has shape {got.shape}, the "
+                f"live tree expects {jnp.shape(want)} — stale resume dir?")
     errors = dict(zip([str(s) for s in data["__error_names__"]],
                       [float(x) for x in data["__errors__"]]))
     return jax.tree.unflatten(treedef, leaves), errors

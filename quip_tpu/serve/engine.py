@@ -392,13 +392,13 @@ class Engine:
             min(self.max_seq - 1 - int(lens[i]) for i in active),
         )
         ks = {self._slots[i].top_k for i in active}
+        if remaining < 2 or max_chunk < 2 or len(ks) > 1:
+            self.step()
+            return 1
         # chunk length: power-of-two bucket (bounded compile count)
         T = 2
         while T * 2 <= min(remaining, max_chunk):
             T *= 2
-        if remaining < 2 or len(ks) > 1:
-            self.step()
-            return 1
         top_k = ks.pop()
         last = np.zeros((self.max_batch, 1), np.int32)
         temps = np.zeros((self.max_batch,), np.float32)

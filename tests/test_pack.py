@@ -200,3 +200,22 @@ def test_dequant_matmul_vmap_stacked_layers(rng):
         want = np.asarray(dequant_matmul_ref(x_bf, planes_l[i], scale[i],
                                              None, bits=2, qfn="b"))
         np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=1e-3)
+
+
+def test_dequant_matmul_odd_m_default_tile(rng):
+    """default_tile_m must handle out_features not divisible by 128
+    (e.g. m=160) by falling back to a divisor of m."""
+    from quip_tpu.kernels.dequant_matmul import default_tile_m
+
+    B, m, d = 8, 160, 128
+    assert m % default_tile_m(m, d) == 0
+    codes = jnp.asarray(rng.integers(0, 4, (m, d)), jnp.int32)
+    planes = pack_codes(codes, 2)
+    x = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+    scale = jnp.asarray(0.3, jnp.float32)
+    x_bf = x.astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.asarray(dequant_matmul_ref(x_bf, planes, scale, None,
+                                         bits=2, qfn="b"))
+    got = np.asarray(dequant_matmul(x, planes, scale, None, bits=2,
+                                    qfn="b", interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
