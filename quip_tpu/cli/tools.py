@@ -58,6 +58,13 @@ def main(argv=None):
     pe.add_argument("--wbits", type=int, default=4)
     pe.add_argument("--seed", type=int, default=0)
 
+    pt = sub.add_parser("transcode",
+                        help="packed checkpoint -> dense checkpoint "
+                             "(load_quant parity: rebuild dense weights "
+                             "from codes + scales + rotation keys)")
+    pt.add_argument("--load", required=True)
+    pt.add_argument("--save", required=True)
+
     pc = sub.add_parser("counter",
                         help="finite-grid counterexample: rounder proxy "
                              "losses on adversarial (W, H) "
@@ -118,6 +125,17 @@ def main(argv=None):
             with open(args.pickle, "wb") as f:
                 _pickle.dump({r[0]: tuple(r[1:]) for r in rows}, f)
             print(f"wrote summary pickle to {args.pickle}")
+
+    elif args.cmd == "transcode":
+        from quip_tpu.pack.model import (load_checkpoint, save_checkpoint,
+                                         unpack_model)
+        tree, meta = load_checkpoint(args.load)
+        dense = unpack_model(tree)
+        meta = dict(meta)
+        meta["packed"] = False
+        meta["transcoded_from"] = args.load
+        save_checkpoint(args.save, dense, meta)
+        print(f"transcoded {args.load} -> dense at {args.save}")
 
     elif args.cmd == "equiv-check":
         out = analysis.optq_ldlq_equivalence_check(args.m, args.d,

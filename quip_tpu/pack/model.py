@@ -51,6 +51,33 @@ def pack_quantized_model(
     return out
 
 
+def unpack_model(params):
+    """Packed -> dense: replace every PackedLinear with its dequantized
+    (in, out) dense weight (the load_quant parity direction,
+    /root/reference/opt.py:318-348 rebuilt dense fp16 from checkpoints).
+    The walk is layout-aware: stacked (layers-leading) PackedLinear leaves
+    dequantize per layer."""
+    import jax.numpy as jnp
+
+    from quip_tpu.pack.format import PackedLinear
+
+    def walk(tree):
+        if isinstance(tree, PackedLinear):
+            plane0 = tree.planes[0]
+            if plane0.ndim == 3:            # stacked over layers
+                layers = []
+                for li in range(plane0.shape[0]):
+                    one = jax.tree.map(lambda x: x[li], tree)
+                    layers.append(one.dequantize(jnp.float32).T)
+                return jnp.stack(layers)
+            return tree.dequantize(jnp.float32).T
+        if isinstance(tree, dict):
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
 def _set_path(tree, path, value):
     out = dict(tree)
     if len(path) == 1:

@@ -127,3 +127,39 @@ def test_tools_hsummary_exports(tmp_path, capsys):
     with open(pkl, "rb") as f:
         summary = pickle.load(f)
     assert set(summary) == set(Hs)
+
+
+def test_tools_transcode_packed_to_dense(tmp_path):
+    """transcode rebuilds dense weights from a packed checkpoint with
+    logits parity (load_quant direction, opt.py:318-348)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from quip_tpu.cli import tools
+    from quip_tpu.models import get_config
+    from quip_tpu.models import model as M
+    from quip_tpu.pack.model import (load_checkpoint, pack_quantized_model,
+                                     save_checkpoint)
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(5), cfg)
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qcfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    qparams, art = quantize_model(params, cfg, calib, qcfg,
+                                  jax.random.key(6), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+    src = str(tmp_path / "packed")
+    dst = str(tmp_path / "dense")
+    save_checkpoint(src, packed, {"model": "opt-tiny", "wbits": 2,
+                                  "packed": True})
+    tools.main(["transcode", "--load", src, "--save", dst])
+    dense, meta = load_checkpoint(dst)
+    assert meta["packed"] is False
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)), jnp.int32)
+    lp = np.asarray(M.forward(packed, tokens, cfg))
+    ld = np.asarray(M.forward(dense, tokens, cfg))
+    np.testing.assert_allclose(ld, lp, rtol=2e-3, atol=2e-3)
