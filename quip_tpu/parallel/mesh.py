@@ -70,62 +70,98 @@ def _spec_for_dense(name: str, ndim: int) -> P:
     return P()  # replicate (norms, biases of row-parallel outputs)
 
 
-def _packed_linear_spec(name: str, q: PackedLinear) -> PackedLinear:
+def _packed_linear_spec(name: str, q: PackedLinear,
+                        layer_axis=None) -> PackedLinear:
     """PartitionSpecs for the children of a PackedLinear (same pytree
     shape). Planes are halfword-spread transposed (layers, nwords, m):
     column-parallel shards the out-features (m, last) axis; row-parallel
-    shards the packed-words (fan-in, middle) axis."""
+    shards the packed-words (fan-in, middle) axis. ``layer_axis`` (e.g.
+    'pp') additionally shards the stacked-layers leading axis."""
+    la = layer_axis
     if name in _COL_PARALLEL:
-        plane = P(None, None, "tp")
-        scale = P(None, "tp", None)
-        svec = P()
+        plane = P(la, None, "tp")
+        scale = P(la, "tp", None)
+        svec = P(la)
     elif name in _ROW_PARALLEL:
-        plane = P(None, "tp", None)
-        scale = P()
-        svec = P(None, "tp")     # scaleWH spans fan-in
+        plane = P(la, "tp", None)
+        scale = P(la)
+        svec = P(la, "tp")       # scaleWH spans fan-in
     else:
-        plane = P()
-        scale = P()
-        svec = P()
+        plane = P(la)
+        scale = P(la)
+        svec = P(la)
     rot_spec = None
     if q.rot is not None:
-        # butterfly blocks/permutations are tiny: replicate
-        rot_spec = jax.tree.map(lambda _: P(), q.rot)
+        # butterfly blocks/permutations are tiny: shard only the layer axis
+        rot_spec = jax.tree.map(lambda _: P(la), q.rot)
     return PackedLinear(
         tuple(plane for _ in q.planes),
         scale if q.scale is not None else None,
         scale if q.zero is not None else None,
-        P() if q.scale_b is not None else None,
+        P(la) if q.scale_b is not None else None,
         svec if q.scaleWH is not None else None,
-        P() if q.proj_key is not None else None,
-        P(None, "tp") if q.bias is not None else None,
+        P(la) if q.proj_key is not None else None,
+        P(la, "tp") if q.bias is not None else None,
         bits=q.bits, qfn=q.qfn, proj_mode=q.proj_mode,
         out_features=q.out_features, in_features=q.in_features,
         rot=rot_spec,
     )
 
 
-def param_specs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
+def param_specs(params: Dict[str, Any], cfg: ModelConfig,
+                layer_axis=None) -> Dict[str, Any]:
     """PartitionSpec tree matching the param tree (dense or packed).
 
     Note: packed linears with incoherence rotations (proj_key set) need the
     full activation vector for the butterfly; GSPMD will insert the gathers.
-    Embeddings and norms are replicated.
-    """
+    Embeddings and norms are replicated. ``layer_axis`` (e.g. 'pp')
+    additionally shards every stacked-block leaf on the layer axis,
+    composing pipeline-style layer placement with tensor parallelism."""
 
     def walk(tree, path):
         if isinstance(tree, PackedLinear):
-            return _packed_linear_spec(path[-1], tree)
+            return _packed_linear_spec(path[-1], tree, layer_axis)
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
         if tree is None:
             return None
         name = path[-1] if path else ""
         if path and path[0] == "blocks":
-            return _spec_for_dense(name, np.ndim(tree))
+            spec = _spec_for_dense(name, np.ndim(tree))
+            if layer_axis is not None:
+                spec = P(layer_axis, *spec[1:]) if len(spec) else \
+                    P(layer_axis)
+            return spec
         return P()  # embed tables, final LN, lm_head: replicated
 
     return walk(params, ())
+
+
+def make_mesh_pp_tp(pp: int, tp: int, devices=None) -> Mesh:
+    """2-D (pp, tp) mesh: layer-axis placement x tensor parallelism — the
+    70B-on-a-slice layout (layers split over pp groups, each layer's
+    matmuls tp-sharded within a group)."""
+    devices = devices if devices is not None else jax.devices()
+    assert pp * tp <= len(devices)
+    arr = np.asarray(devices[: pp * tp]).reshape(pp, tp)
+    return Mesh(arr, ("pp", "tp"))
+
+
+def shard_params_pp_tp(params: Dict[str, Any], cfg: ModelConfig,
+                       mesh: Mesh) -> Dict[str, Any]:
+    """Place a param tree on a (pp, tp) mesh: stacked-layer leaves shard
+    the layer axis over 'pp' and feature axes over 'tp'."""
+    assert cfg.n_layers % mesh.shape["pp"] == 0, \
+        (cfg.n_layers, mesh.shape["pp"])
+    specs = param_specs(params, cfg, layer_axis="pp")
+
+    def place(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, specs,
+                        is_leaf=lambda x: x is None)
 
 
 def shard_params(params: Dict[str, Any], cfg: ModelConfig,

@@ -270,3 +270,42 @@ def test_engine_kv_quant_generates(tiny_model):
     # greedy decoding is robust to the small int8 cache error; require
     # at least one stream identical and all streams completed
     assert same >= 1, (ra[0].generated, rb[0].generated)
+
+
+def test_pp_tp_combined_sharding(tiny_model):
+    """2-D (pp, tp) placement: layer axis over pp, features over tp —
+    forward must match the unsharded model (dense AND packed trees)."""
+    import numpy as np
+
+    from quip_tpu.parallel.mesh import make_mesh_pp_tp, shard_params_pp_tp
+
+    cfg, params = tiny_model
+    if cfg.n_layers % 2:
+        pytest.skip("needs even layer count")
+    mesh = make_mesh_pp_tp(pp=2, tp=2)
+    tokens = jnp.asarray(np.arange(24).reshape(2, 12) % cfg.vocab_size,
+                         jnp.int32)
+    want = np.asarray(M.forward(params, tokens, cfg))
+
+    sharded = shard_params_pp_tp(params, cfg, mesh)
+    got = np.asarray(jax.jit(lambda p, t: M.forward(p, t, cfg))(
+        sharded, tokens))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # packed tree on the same mesh
+    from quip_tpu.pack.model import pack_quantized_model
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    rng_t = np.random.default_rng(0)
+    calib = jnp.asarray(rng_t.integers(0, cfg.vocab_size, (4, 16)),
+                        jnp.int32)
+    qcfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    qparams, art = quantize_model(params, cfg, calib, qcfg,
+                                  jax.random.key(9), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+    want_q = np.asarray(M.forward(packed, tokens, cfg))
+    packed_sh = shard_params_pp_tp(packed, cfg, mesh)
+    got_q = np.asarray(jax.jit(lambda p, t: M.forward(p, t, cfg))(
+        packed_sh, tokens))
+    np.testing.assert_allclose(got_q, want_q, rtol=2e-4, atol=2e-4)
