@@ -185,3 +185,35 @@ def test_fused_qkv_pipeline(tiny_setup):
     mse_f = float(np.mean((np.asarray(M.forward(qf, tokens, cfg)) - ref) ** 2))
     mse_u = float(np.mean((np.asarray(M.forward(qu, tokens, cfg)) - ref) ** 2))
     assert mse_f < mse_u * 2.5, (mse_f, mse_u)
+
+
+def test_resume_rejects_stale_format(tmp_path):
+    """Resume files from an older pack layout must be rejected, not
+    silently unflattened (the plane layout changed in v2)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from quip_tpu.models import get_config
+    from quip_tpu.models import model as M
+    from quip_tpu.quantize import driver as D
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 16)), jnp.int32)
+    qcfg = QuantConfig(wbits=4, method="nearest", qfn="a")
+    rdir = str(tmp_path / "resume")
+    quantize_model(params, cfg, calib, qcfg, jax.random.key(1), chunk=4,
+                   resume_dir=rdir)
+    # tamper: rewrite layer 0 with a v1 version stamp
+    path = D._resume_path(rdir, 0)
+    data = dict(np.load(path, allow_pickle=False))
+    data["__format_version__"] = np.asarray(1, np.int64)
+    np.savez(path, **data)
+    template = jax.tree.map(lambda x: x[0], params["blocks"])
+    with pytest.raises(ValueError, match="layout v1"):
+        D._load_resume_layer(rdir, 0, template)

@@ -309,3 +309,11 @@ def test_pp_tp_combined_sharding(tiny_model):
     got_q = np.asarray(jax.jit(lambda p, t: M.forward(p, t, cfg))(
         packed_sh, tokens))
     np.testing.assert_allclose(got_q, want_q, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_kv_quant_chunked(tiny_model):
+    """kv_quant + chunked decode compose."""
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, kv_quant=True)
+    reqs = eng.run([dict(prompt=[2, 4, 6], max_new_tokens=9)], chunked=True)
+    assert len(reqs[0].generated) >= 9
