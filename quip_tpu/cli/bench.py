@@ -3,7 +3,12 @@
 Parity with the reference `benchmark()` harness (llama.py:418-471,
 opt.py:431-482 — commented out of its CLIs): median per-token latency over a
 prompt replay, optional perplexity cross-check, plus throughput at a given
-batch size (the serving-relevant number the reference never had).
+batch size and mesh (the serving-relevant numbers the reference never had).
+
+Throughput chains all decode steps with ONE host sync at the end — on
+relayed TPU backends a per-token host read costs ~25 ms (docs/PERF.md), so
+`median_s_per_token` (which includes that sync, matching the reference's
+per-token `torch.cuda.synchronize` semantics) is reported separately.
 """
 from __future__ import annotations
 
@@ -28,6 +33,13 @@ def main(argv=None):
                    help="number of decode steps to time")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--max_seq", type=int, default=256)
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8-quantized KV cache")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh ways (batch must divide)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh ways — run at 1, 2, 4, ... "
+                        "to measure multi-chip scaling efficiency")
     p.add_argument("--check", action="store_true",
                    help="also report nll of the benchmarked continuation "
                         "(llama.py:447, 464-467)")
@@ -40,8 +52,15 @@ def main(argv=None):
         params, meta = load_checkpoint(args.load)
         print(f"loaded {meta}")
 
+    if args.dp * args.tp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from quip_tpu.parallel.mesh import (cache_specs, make_mesh,
+                                            shard_params)
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        params = shard_params(params, cfg, mesh)
+
     caches = M.init_caches(args.batch, args.max_seq, cfg,
-                           dtype=jnp.bfloat16)
+                           dtype=jnp.bfloat16, quantized=args.kv_quant)
 
     @jax.jit
     def step(params, tok, caches):
@@ -56,21 +75,37 @@ def main(argv=None):
         tok, nll, caches = step(params, tok, caches)
     int(tok[0, 0])
 
-    lat, nlls = [], []
-    for i in range(args.tokens):
+    # throughput: chain all steps, sync once
+    t0 = time.time()
+    tok_t, caches_t, nll_sum = tok, caches, 0.0
+    nlls = []
+    for _ in range(args.tokens):
+        tok_t, nll_t, caches_t = step(params, tok_t, caches_t)
+        nlls.append(nll_t)
+    int(tok_t[0, 0])
+    dt_chain = (time.time() - t0) / args.tokens
+
+    # median latency with a per-token hard sync (reference benchmark()
+    # semantics: per-step cuda.synchronize, llama.py:455-457)
+    lat = []
+    n_lat = min(args.tokens, 16)
+    for _ in range(n_lat):
         t0 = time.time()
         tok, nll, caches = step(params, tok, caches)
-        _ = int(tok[0, 0])    # per-token hard sync: median latency semantics
+        _ = int(tok[0, 0])
         lat.append(time.time() - t0)
-        nlls.append(float(nll[0]))
 
     out = {
-        "median_s_per_token": float(np.median(lat)),
-        "tokens_per_sec": args.batch / float(np.median(lat)),
+        "tokens_per_sec": args.batch / dt_chain,
+        "s_per_token_chained": dt_chain,
+        "median_s_per_token_synced": float(np.median(lat)),
         "batch": args.batch,
+        "mesh": {"dp": args.dp, "tp": args.tp},
+        "kv_quant": bool(args.kv_quant),
     }
     if args.check:
-        out["continuation_nll"] = float(np.mean(nlls))
+        out["continuation_nll"] = float(np.mean(
+            [float(np.asarray(x)[0]) for x in nlls]))
     print(json.dumps(out))
 
 

@@ -50,6 +50,14 @@ def test_bench_cli(capsys):
                       if ln.startswith("{")][-1])
     assert rec["tokens_per_sec"] > 0
 
+    # tensor-parallel mesh + int8 KV cache on the virtual devices
+    bcli.main(["opt-tiny", "--tokens", "4", "--max_seq", "32",
+               "--tp", "2", "--batch", "2", "--kv_quant"])
+    out = capsys.readouterr().out
+    rec = json.loads([ln for ln in out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rec["tokens_per_sec"] > 0 and rec["mesh"]["tp"] == 2
+
 
 def test_tools_cli(tmp_path, capsys):
     from quip_tpu.cli import tools
