@@ -53,9 +53,7 @@ def main(argv=None):
         print(f"loaded {meta}")
 
     if args.dp * args.tp > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from quip_tpu.parallel.mesh import (cache_specs, make_mesh,
-                                            shard_params)
+        from quip_tpu.parallel.mesh import make_mesh, shard_params
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         params = shard_params(params, cfg, mesh)
 
