@@ -22,7 +22,10 @@ def add_model_args(p: argparse.ArgumentParser):
                         "llama-2-7b, opt-tiny)")
     p.add_argument("--weights", type=str, default=None,
                    help="local HF checkpoint dir; 'random' for random init")
-    p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--dtype", type=str, default=None,
+                   help="model dtype; default bfloat16 on TPU (a >=1.3B "
+                        "float32 tree OOMs a 16 GB chip during "
+                        "quantize+eval), float32 elsewhere")
     p.add_argument("--seqlen", type=int, default=None,
                    help="override model seqlen (reference README.md:14-15)")
 
@@ -93,6 +96,9 @@ def load_model(args):
     cfg = get_config(args.model)
     if args.seqlen:
         cfg = replace(cfg, max_seq=args.seqlen)
+    if args.dtype is None:
+        args.dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                      else "float32")
     cfg = replace(cfg, dtype=args.dtype)
     if args.weights and args.weights != "random":
         from quip_tpu.models.hf_import import load_hf_params
