@@ -19,6 +19,9 @@ TASK_REGISTRY = {
     "record": T.ReCoRD,
     "wsc": T.WinogradSchemaChallenge,
     "storycloze": T.StoryCloze,
+    # offline smoke task (ours, no reference counterpart): lets the CLI run
+    # end-to-end with zero network egress
+    "synthetic": T.Synthetic,
 }
 
 ALL_TASKS = sorted(TASK_REGISTRY)

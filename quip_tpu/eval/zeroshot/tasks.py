@@ -50,6 +50,60 @@ class PiQA(MultipleChoiceTask):
         return "Question: " + doc["goal"] + "\nAnswer:"
 
 
+class Synthetic(MultipleChoiceTask):
+    """Offline smoke task (no reference counterpart, no network): PiQA-shaped
+    multiple-choice docs generated deterministically. Lets the zeroshot CLI
+    run end-to-end in zero-egress environments."""
+
+    VERSION = 0
+    DATASET_PATH = None
+
+    def download(self, data_dir=None, cache_dir=None, download_mode=None,
+                 dataset=None):
+        import numpy as np
+
+        if dataset is not None:
+            self.dataset = dataset
+            return
+        rng = np.random.default_rng(0)
+        def mk(tag, n):
+            docs = []
+            for i in range(n):
+                a, b = rng.integers(0, 1000, 2)
+                docs.append({"goal": f"{tag} question {i}: pick {a}",
+                             "sol1": f"option {a}", "sol2": f"option {b}",
+                             "label": 0})
+            return docs
+        self.dataset = {"train": mk("train", 16),
+                        "validation": mk("val", 16)}
+
+    def has_training_docs(self):
+        return True
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return False
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = list(map(self._process_doc,
+                                           self.dataset["train"]))
+        return self._training_docs
+
+    def validation_docs(self):
+        return map(self._process_doc, self.dataset["validation"])
+
+    def _process_doc(self, doc):
+        return {"goal": doc["goal"],
+                "choices": [doc["sol1"], doc["sol2"]],
+                "gold": doc["label"]}
+
+    def doc_to_text(self, doc):
+        return "Question: " + doc["goal"] + "\nAnswer:"
+
+
 class ARCEasy(MultipleChoiceTask):
     """zeroShot/tasks/arc.py:28-80."""
 

@@ -37,7 +37,9 @@ def test_registry_complete():
     # (zeroShot/tasks/__init__.py:17-31)
     want = {"lambada", "piqa", "arc_easy", "arc_challenge", "boolq", "cb",
             "copa", "wic", "multirc", "rte", "record", "wsc", "storycloze"}
-    assert set(TASK_REGISTRY) == want
+    assert want <= set(TASK_REGISTRY)
+    # plus our offline smoke task
+    assert set(TASK_REGISTRY) - want == {"synthetic"}
 
 
 def test_piqa_end_to_end(tiny_lm):
@@ -151,3 +153,12 @@ def test_metrics():
 def test_greedy_until(tiny_lm):
     outs = tiny_lm.greedy_until([("ab", ["\n"])], max_gen_toks=4)
     assert len(outs) == 1 and isinstance(outs[0], str)
+
+
+def test_synthetic_task_cli_offline(tiny_lm, capsys):
+    """The zeroshot CLI runs fully offline via the synthetic task."""
+    tasks = get_task_dict(["synthetic"])
+    out = simple_evaluate(tiny_lm, tasks, num_fewshot=0, limit=6,
+                          bootstrap_iters=10)
+    res = out["results"]["synthetic"]
+    assert 0.0 <= res["acc"] <= 1.0
