@@ -150,6 +150,7 @@ def attention(
     mask: jax.Array,                 # (B, S, L) True = attend
     cache: Optional[KVCache] = None,
     taps: Optional[dict] = None,
+    rope_cs: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     B, S, D = x.shape
     H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
@@ -174,7 +175,10 @@ def attention(
     v = v.reshape(B, S, KV, hd)
 
     if cfg.positions == "rope":
-        cos, sin = rope_tables(cfg, positions)
+        # tables are loop-invariant across the layer scan: callers compute
+        # them once per step (32 pow/cos/sin chains per token otherwise)
+        cos, sin = rope_cs if rope_cs is not None \
+            else rope_tables(cfg, positions)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -289,6 +293,7 @@ def block_apply(
     mask: jax.Array,
     cache: Optional[KVCache] = None,
     with_taps: bool = False,
+    rope_cs: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """One decoder block. Returns (y, cache, taps|None).
 
@@ -300,7 +305,8 @@ def block_apply(
 
     res = x
     h = norm(p["ln1"], x, cfg) if cfg.do_layer_norm_before else x
-    a, cache = attention(p["attn"], h, cfg, positions, mask, cache, taps)
+    a, cache = attention(p["attn"], h, cfg, positions, mask, cache, taps,
+                         rope_cs)
     x = res + a
     if not cfg.do_layer_norm_before:
         x = norm(p["ln1"], x, cfg)
@@ -362,9 +368,11 @@ def forward(params: Params, tokens: jax.Array, cfg: ModelConfig) -> jax.Array:
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     mask = causal_mask(B, S)
     x = embed(params, tokens, cfg, positions)
+    cs = rope_tables(cfg, positions) if cfg.positions == "rope" else None
 
     def body(x, layer_params):
-        y, _, _ = block_apply(layer_params, x, cfg, positions, mask)
+        y, _, _ = block_apply(layer_params, x, cfg, positions, mask,
+                              rope_cs=cs)
         return y, None
 
     x, _ = lax.scan(body, x, params["blocks"])
@@ -389,11 +397,12 @@ def decode_step(
     key_pos = jnp.arange(L)[None, None, :]
     mask = key_pos <= positions[:, :, None]  # (B, 1, L)
     x = embed(params, tokens, cfg, positions)
+    cs = rope_tables(cfg, positions) if cfg.positions == "rope" else None
 
     def body(x, layer):
         layer_params, cache = layer
         y, cache, _ = block_apply(layer_params, x, cfg, positions, mask,
-                                  cache)
+                                  cache, rope_cs=cs)
         return y, cache
 
     x, new_caches = lax.scan(body, x, (params["blocks"], caches))

@@ -100,16 +100,44 @@ def save_checkpoint(path: str, params: Dict[str, Any],
     holding the treedef repr and metadata. PackedLinear aux data round-trips
     through the pytree registry.
     """
+# numpy's npz format round-trips ml_dtypes (bfloat16, fp8) as opaque void
+# descriptors ('|V2'); store such leaves as raw integer views with the real
+# dtype recorded in tree.json
+_EXOTIC_VIEWS = {"bfloat16": np.uint16}
+
+
+def _leaf_to_np(x):
+    a = np.asarray(x)
+    name = a.dtype.name
+    if name in _EXOTIC_VIEWS:
+        return a.view(_EXOTIC_VIEWS[name]), name
+    return a, None
+
+
+def save_checkpoint(path: str, params: Dict[str, Any],
+                    meta: Dict[str, Any] | None = None) -> None:
+    """Save a (possibly packed) param tree.
+
+    Layout: <path>/arrays.npz with leaves keyed by index, plus tree.json
+    holding the treedef repr and metadata. PackedLinear aux data round-trips
+    through the pytree registry.
+    """
     from quip_tpu.pack.format import PACK_FORMAT_VERSION
 
     os.makedirs(path, exist_ok=True)
     leaves, treedef = jax.tree.flatten(params)
-    np.savez(os.path.join(path, "arrays.npz"),
-             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    arrays, exotic = {}, {}
+    for i, x in enumerate(leaves):
+        a, name = _leaf_to_np(x)
+        arrays[f"leaf_{i}"] = a
+        if name:
+            exotic[str(i)] = name
+    np.savez(os.path.join(path, "arrays.npz"), **arrays)
     spec = {
         "treedef": _treedef_to_json(params),
         "meta": meta or {},
         "n_leaves": len(leaves),
+        "leaf_dtypes": exotic,
         "pack_format_version": PACK_FORMAT_VERSION,
     }
     with open(os.path.join(path, "tree.json"), "w") as f:
@@ -117,6 +145,8 @@ def save_checkpoint(path: str, params: Dict[str, Any],
 
 
 def load_checkpoint(path: str) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    import ml_dtypes
+
     from quip_tpu.pack.format import PACK_FORMAT_VERSION
 
     with open(os.path.join(path, "tree.json")) as f:
@@ -128,8 +158,14 @@ def load_checkpoint(path: str) -> tuple[Dict[str, Any], Dict[str, Any]]:
             f"build reads v{PACK_FORMAT_VERSION} (halfword-spread "
             f"transposed). Re-quantize or transcode the checkpoint.")
     data = np.load(os.path.join(path, "arrays.npz"))
-    leaves = [jnp.asarray(data[f"leaf_{i}"])
-              for i in range(spec["n_leaves"])]
+    exotic = spec.get("leaf_dtypes", {})
+    leaves = []
+    for i in range(spec["n_leaves"]):
+        a = data[f"leaf_{i}"]
+        name = exotic.get(str(i))
+        if name:
+            a = a.view(getattr(ml_dtypes, name))
+        leaves.append(jnp.asarray(a))
     tree = _treedef_from_json(spec["treedef"], iter(leaves))
     return tree, spec["meta"]
 

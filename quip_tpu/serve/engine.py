@@ -72,6 +72,8 @@ def _slot_attention_step(params, cfg, tokens, lengths, arena):
     mask = key_pos <= positions[:, :, None]           # (B, 1, L)
 
     x = M.embed(params, tokens, cfg, positions)
+    rope_cs = (M.rope_tables(cfg, positions)
+               if cfg.positions == "rope" else None)
 
     def body(carry, layer):
         x = carry
@@ -80,7 +82,7 @@ def _slot_attention_step(params, cfg, tokens, lengths, arena):
         h = (M.norm(layer_params["ln1"], x, cfg)
              if cfg.do_layer_norm_before else x)
         a, arena_l = _attn_steps(layer_params["attn"], h, cfg, positions,
-                                 mask, arena_l, lengths)
+                                 mask, arena_l, lengths, rope_cs)
         x = x + a
         if not cfg.do_layer_norm_before:
             x = M.norm(layer_params["ln1"], x, cfg)
@@ -98,7 +100,8 @@ def _slot_attention_step(params, cfg, tokens, lengths, arena):
     return logits[:, -1, :], arena
 
 
-def _attn_steps(p, x, cfg, positions, mask, arena_l, lengths):
+def _attn_steps(p, x, cfg, positions, mask, arena_l, lengths,
+                rope_cs=None):
     """Attention for a (B, 1) step against per-slot caches.
 
     arena_l: (k, v, ks, vs) with k/v (B, L, KV, hd). Each slot writes its
@@ -126,7 +129,8 @@ def _attn_steps(p, x, cfg, positions, mask, arena_l, lengths):
     v = v.reshape(B, S, KV, hd)
 
     if cfg.positions == "rope":
-        cos, sin = M.rope_tables(cfg, positions)
+        cos, sin = rope_cs if rope_cs is not None \
+            else M.rope_tables(cfg, positions)
         q = M.apply_rope(q, cos, sin)
         k = M.apply_rope(k, cos, sin)
 
@@ -259,6 +263,8 @@ class Engine:
             mask = (key_pos <= positions[:, :, None]) & \
                 (key_pos < plen)                             # (B, S, max_seq)
             x = M.embed(params, tokens, cfg, positions)
+            rope_cs = (M.rope_tables(cfg, positions)
+                       if cfg.positions == "rope" else None)
 
             def body(x, layer):
                 layer_params, arena_l = layer
@@ -269,7 +275,7 @@ class Engine:
                     jnp.zeros((B, self.max_seq, cfg.kv_heads, cfg.hd), fpdt),
                     jnp.zeros((), jnp.int32))
                 y, cache, _ = M.block_apply(layer_params, x, cfg, positions,
-                                            mask, cache)
+                                            mask, cache, rope_cs=rope_cs)
                 zero = jnp.zeros((), slot.dtype)
                 ck, cv = cache.k[0], cache.v[0]
                 if ks_l is not None:

@@ -219,3 +219,19 @@ def test_dequant_matmul_odd_m_default_tile(rng):
     got = np.asarray(dequant_matmul(x, planes, scale, None, bits=2,
                                     qfn="b", interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_checkpoint_bf16_roundtrip(tmp_path):
+    """bfloat16 leaves must survive the npz round-trip (numpy stores
+    ml_dtypes as opaque '|V2' voids without the dtype record)."""
+    from quip_tpu.pack.model import load_checkpoint, save_checkpoint
+
+    tree = {"w": jnp.asarray([[1.5, -2.25]], jnp.bfloat16),
+            "b": jnp.asarray([3], jnp.int32)}
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, tree, {"x": 1})
+    loaded, meta = load_checkpoint(path)
+    assert loaded["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(loaded["w"], np.float32),
+                                  np.asarray(tree["w"], np.float32))
+    assert loaded["b"].dtype == jnp.int32
