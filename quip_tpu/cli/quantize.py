@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--resume_dir", type=str, default=None,
                    help="per-layer resume directory")
     args = p.parse_args(argv)
+    if args.packed and args.groupsize > 0:
+        p.error("--packed requires per-row grids; --groupsize produces "
+                "per-group scales with no packed representation (the "
+                "reference's packed path had no groupsize either, "
+                "quant.py:185-220). Drop one of the two flags.")
 
     params, cfg = common.load_model(args)
     if args.fuse:

@@ -255,7 +255,10 @@ def rot_to_butterflies(q: "PackedLinear", dtype=None):
 def pack_layer_result(res, bits: int,
                       bias: Optional[jax.Array] = None) -> PackedLinear:
     """Build a PackedLinear from a quantize_layer LayerQuantResult."""
-    assert res.codes is not None, "method produced no integer codes"
+    assert res.codes is not None, (
+        "method produced no integer codes to pack (grouped grids "
+        "(groupsize>0) quantize per-group and cannot be packed; use "
+        "per-row grids)")
     codes = res.codes.astype(jnp.int32)
     m, d = codes.shape
     planes = pack_codes(codes, bits)

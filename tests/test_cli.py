@@ -171,3 +171,15 @@ def test_tools_transcode_packed_to_dense(tmp_path):
     lp = np.asarray(M.forward(packed, tokens, cfg))
     ld = np.asarray(M.forward(dense, tokens, cfg))
     np.testing.assert_allclose(ld, lp, rtol=2e-3, atol=2e-3)
+
+
+def test_quantize_cli_rejects_packed_groupsize(capsys):
+    import pytest
+
+    from quip_tpu.cli import quantize as qcli
+
+    with pytest.raises(SystemExit):
+        qcli.main(["opt-tiny", "synthetic", "--wbits", "4",
+                   "--quant", "gptq", "--groupsize", "16", "--packed",
+                   "--save", "/tmp/never"])
+    assert "groupsize" in capsys.readouterr().err
