@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv (and gate+up) before quantizing: one "
                         "rotation + one packed matmul per group")
+    p.add_argument("--trace", type=str, default=None,
+                   help="write a jax.profiler trace of the quantization "
+                        "run to this directory (utils/profiling.trace)")
     p.add_argument("--resume_dir", type=str, default=None,
                    help="per-layer resume directory")
     args = p.parse_args(argv)
@@ -52,10 +55,13 @@ def main(argv=None):
     qcfg = common.quant_config_from_args(args)
 
     from quip_tpu.quantize.driver import quantize_model
+    from quip_tpu.utils.profiling import trace
     t0 = time.time()
-    newp, art = quantize_model(params, cfg, jnp.asarray(calib), qcfg,
-                               jax.random.key(args.seed), chunk=args.chunk,
-                               progress=True, resume_dir=args.resume_dir)
+    with trace(args.trace):
+        newp, art = quantize_model(params, cfg, jnp.asarray(calib), qcfg,
+                                   jax.random.key(args.seed),
+                                   chunk=args.chunk, progress=True,
+                                   resume_dir=args.resume_dir)
     print(f"Total quant time: {time.time() - t0:.2f}s")
     print(f"Total proxy error: {art.total_error:.4f}")
 
