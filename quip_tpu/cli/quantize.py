@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv (and gate+up) before quantizing: one "
                         "rotation + one packed matmul per group")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel calibration over a device mesh: "
+                        "Hessian accumulation is an embarrassingly "
+                        "parallel psum (SURVEY.md §2.6); calibration "
+                        "chunks shard over 'dp'")
     p.add_argument("--trace", type=str, default=None,
                    help="write a jax.profiler trace of the quantization "
                         "run to this directory (utils/profiling.trace)")
@@ -56,6 +61,15 @@ def main(argv=None):
 
     from quip_tpu.quantize.driver import quantize_model
     from quip_tpu.utils.profiling import trace
+    if args.dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from quip_tpu.parallel.mesh import make_mesh, shard_params
+        mesh = make_mesh(dp=args.dp, tp=1)
+        params = shard_params(params, cfg, mesh)   # replicated (tp=1)
+        calib = jax.device_put(
+            jnp.asarray(calib), NamedSharding(mesh, P("dp", None)))
+        if args.chunk % args.dp:
+            p.error(f"--chunk {args.chunk} must be divisible by --dp")
     t0 = time.time()
     with trace(args.trace):
         newp, art = quantize_model(params, cfg, jnp.asarray(calib), qcfg,

@@ -183,3 +183,19 @@ def test_quantize_cli_rejects_packed_groupsize(capsys):
                    "--quant", "gptq", "--groupsize", "16", "--packed",
                    "--save", "/tmp/never"])
     assert "groupsize" in capsys.readouterr().err
+
+
+def test_quantize_cli_dp_mesh(tmp_path, capsys):
+    """--dp shards calibration over the virtual mesh (GSPMD psum Hessians)
+    and produces a working checkpoint."""
+    from quip_tpu.cli import quantize as qcli
+
+    ck = str(tmp_path / "dp_ck")
+    qcli.main(["opt-tiny", "synthetic", "--wbits", "2", "--quant", "ldlq",
+               "--incoh_processing", "--nsamples", "8", "--seqlen", "32",
+               "--chunk", "4", "--dp", "2", "--packed", "--save", ck])
+    out = capsys.readouterr().out
+    assert "saved checkpoint" in out
+    from quip_tpu.pack.model import load_checkpoint
+    tree, meta = load_checkpoint(ck)
+    assert meta["wbits"] == 2
