@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv (and gate+up) before quantizing: one "
                         "rotation + one packed matmul per group")
+    p.add_argument("--host_offload", action="store_true",
+                   help="keep stacked blocks in host RAM, one block on "
+                        "device at a time (quantize 70B on a small slice; "
+                        "the TPU analog of the reference's CPU<->GPU block "
+                        "streaming, opt.py:94-181)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel calibration over a device mesh: "
                         "Hessian accumulation is an embarrassingly "
@@ -75,7 +80,8 @@ def main(argv=None):
         newp, art = quantize_model(params, cfg, jnp.asarray(calib), qcfg,
                                    jax.random.key(args.seed),
                                    chunk=args.chunk, progress=True,
-                                   resume_dir=args.resume_dir)
+                                   resume_dir=args.resume_dir,
+                                   host_offload=args.host_offload)
     print(f"Total quant time: {time.time() - t0:.2f}s")
     print(f"Total proxy error: {art.total_error:.4f}")
 
