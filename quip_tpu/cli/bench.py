@@ -7,8 +7,9 @@ batch size and mesh (the serving-relevant numbers the reference never had).
 
 Throughput chains all decode steps with ONE host sync at the end — on
 relayed TPU backends a per-token host read costs ~25 ms (docs/PERF.md), so
-`median_s_per_token` (which includes that sync, matching the reference's
-per-token `torch.cuda.synchronize` semantics) is reported separately.
+`median_s_per_token_synced` (which includes that sync, matching the
+reference's per-token `torch.cuda.synchronize` semantics) is reported
+separately.
 """
 from __future__ import annotations
 
@@ -45,6 +46,9 @@ def main(argv=None):
                         "(llama.py:447, 464-467)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if 4 + args.tokens > args.max_seq - 1:
+        p.error(f"--tokens {args.tokens} (+4 warmup) exceeds the KV cache "
+                f"(--max_seq {args.max_seq}); raise --max_seq")
 
     params, cfg = common.load_model(args)
     if args.load:
@@ -52,13 +56,33 @@ def main(argv=None):
         params, meta = load_checkpoint(args.load)
         print(f"loaded {meta}")
 
+    mesh = None
     if args.dp * args.tp > 1:
-        from quip_tpu.parallel.mesh import make_mesh, shard_params
+        from jax.sharding import NamedSharding
+        from quip_tpu.parallel.mesh import (cache_specs, data_spec,
+                                            make_mesh, shard_params)
+        if args.batch % args.dp:
+            p.error(f"--batch {args.batch} must be divisible by --dp")
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         params = shard_params(params, cfg, mesh)
 
     caches = M.init_caches(args.batch, args.max_seq, cfg,
                            dtype=jnp.bfloat16, quantized=args.kv_quant)
+    if mesh is not None:
+        # batch over 'dp', KV heads over 'tp' — without these the decode
+        # runs replicated and dp/tp scaling numbers are meaningless
+        cspec = NamedSharding(mesh, cache_specs(cfg))
+        caches = type(caches)(*[
+            None if x is None else jax.device_put(x, cspec)
+            for x in caches[:2]
+        ], caches.length, *[
+            None if x is None
+            else jax.device_put(
+                x, NamedSharding(mesh,
+                                 jax.sharding.PartitionSpec(
+                                     None, "dp", None, "tp")))
+            for x in caches[3:]
+        ])
 
     @jax.jit
     def step(params, tok, caches):
@@ -68,6 +92,10 @@ def main(argv=None):
         return nxt, jnp.take_along_axis(nll, nxt, 1)[:, 0], caches
 
     tok = jnp.zeros((args.batch, 1), jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from quip_tpu.parallel.mesh import data_spec
+        tok = jax.device_put(tok, NamedSharding(mesh, data_spec()))
     # warmup + compile
     for _ in range(4):
         tok, nll, caches = step(params, tok, caches)
@@ -75,7 +103,7 @@ def main(argv=None):
 
     # throughput: chain all steps, sync once
     t0 = time.time()
-    tok_t, caches_t, nll_sum = tok, caches, 0.0
+    tok_t, caches_t = tok, caches
     nlls = []
     for _ in range(args.tokens):
         tok_t, nll_t, caches_t = step(params, tok_t, caches_t)
@@ -84,9 +112,11 @@ def main(argv=None):
     dt_chain = (time.time() - t0) / args.tokens
 
     # median latency with a per-token hard sync (reference benchmark()
-    # semantics: per-step cuda.synchronize, llama.py:455-457)
+    # semantics: per-step cuda.synchronize, llama.py:455-457). This loop
+    # continues from the 4-step warmup caches, so it needs
+    # 4 + n_lat <= max_seq - 1.
     lat = []
-    n_lat = min(args.tokens, 16)
+    n_lat = min(args.tokens, 16, max(args.max_seq - 5, 0))
     for _ in range(n_lat):
         t0 = time.time()
         tok, nll, caches = step(params, tok, caches)
@@ -96,7 +126,8 @@ def main(argv=None):
     out = {
         "tokens_per_sec": args.batch / dt_chain,
         "s_per_token_chained": dt_chain,
-        "median_s_per_token_synced": float(np.median(lat)),
+        "median_s_per_token_synced": (float(np.median(lat)) if lat
+                                      else None),
         "batch": args.batch,
         "mesh": {"dp": args.dp, "tp": args.tp},
         "kv_quant": bool(args.kv_quant),

@@ -43,8 +43,10 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel calibration over a device mesh: "
                         "Hessian accumulation is an embarrassingly "
-                        "parallel psum (SURVEY.md §2.6); calibration "
-                        "chunks shard over 'dp'")
+                        "parallel psum (SURVEY.md §2.6). Requires "
+                        "--chunk == --nsamples so the one calibration "
+                        "window spans the mesh (contiguous batch shards; "
+                        "smaller windows would each land on one device)")
     p.add_argument("--trace", type=str, default=None,
                    help="write a jax.profiler trace of the quantization "
                         "run to this directory (utils/profiling.trace)")
@@ -56,11 +58,30 @@ def main(argv=None):
                 "per-group scales with no packed representation (the "
                 "reference's packed path had no groupsize either, "
                 "quant.py:185-220). Drop one of the two flags.")
+    if args.dp > 1:
+        # checked before any model load / device transfer
+        if args.nsamples % args.dp:
+            p.error(f"--nsamples {args.nsamples} must be divisible by "
+                    f"--dp {args.dp}")
+        if args.chunk != args.nsamples:
+            p.error("--dp requires --chunk == --nsamples: the driver "
+                    "accumulates one chunk window at a time and batch "
+                    "shards are contiguous, so only a window spanning the "
+                    "whole batch actually runs data-parallel")
 
     params, cfg = common.load_model(args)
     if args.fuse:
         from quip_tpu.models import model as M
         params = M.fuse_params(params, cfg)
+    if args.host_offload:
+        # move the tree to host NOW so the device copies made during load
+        # are freed before calibration; quantize_model then streams one
+        # block at a time. (NOTE: loading itself still materializes the
+        # full tree on device once — models too big even for that need a
+        # host-side loader, a known limitation.)
+        import numpy as _np
+        params = jax.tree.map(
+            lambda x: _np.asarray(x) if hasattr(x, "dtype") else x, params)
     (calib, test_stream), seqlen = common.get_data(args, cfg)
     qcfg = common.quant_config_from_args(args)
 
@@ -73,8 +94,6 @@ def main(argv=None):
         params = shard_params(params, cfg, mesh)   # replicated (tp=1)
         calib = jax.device_put(
             jnp.asarray(calib), NamedSharding(mesh, P("dp", None)))
-        if args.chunk % args.dp:
-            p.error(f"--chunk {args.chunk} must be divisible by --dp")
     t0 = time.time()
     with trace(args.trace):
         newp, art = quantize_model(params, cfg, jnp.asarray(calib), qcfg,

@@ -92,18 +92,15 @@ def _set_path(tree, path, value):
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(path: str, params: Dict[str, Any],
-                    meta: Dict[str, Any] | None = None) -> None:
-    """Save a (possibly packed) param tree.
-
-    Layout: <path>/arrays.npz with leaves keyed by index, plus tree.json
-    holding the treedef repr and metadata. PackedLinear aux data round-trips
-    through the pytree registry.
-    """
 # numpy's npz format round-trips ml_dtypes (bfloat16, fp8) as opaque void
 # descriptors ('|V2'); store such leaves as raw integer views with the real
 # dtype recorded in tree.json
-_EXOTIC_VIEWS = {"bfloat16": np.uint16}
+_EXOTIC_VIEWS = {
+    "bfloat16": np.uint16,
+    "float8_e4m3fn": np.uint8,
+    "float8_e5m2": np.uint8,
+    "float8_e4m3": np.uint8,
+}
 
 
 def _leaf_to_np(x):

@@ -58,6 +58,14 @@ def test_bench_cli(capsys):
                       if ln.startswith("{")][-1])
     assert rec["tokens_per_sec"] > 0 and rec["mesh"]["tp"] == 2
 
+    # dp x tp with batch and KV arenas sharded over the mesh
+    bcli.main(["opt-tiny", "--tokens", "4", "--max_seq", "32",
+               "--dp", "2", "--tp", "2", "--batch", "4", "--kv_quant"])
+    out = capsys.readouterr().out
+    rec = json.loads([ln for ln in out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rec["tokens_per_sec"] > 0 and rec["mesh"]["dp"] == 2
+
 
 def test_tools_cli(tmp_path, capsys):
     from quip_tpu.cli import tools
@@ -193,7 +201,7 @@ def test_quantize_cli_dp_mesh(tmp_path, capsys):
     ck = str(tmp_path / "dp_ck")
     qcli.main(["opt-tiny", "synthetic", "--wbits", "2", "--quant", "ldlq",
                "--incoh_processing", "--nsamples", "8", "--seqlen", "32",
-               "--chunk", "4", "--dp", "2", "--packed", "--save", ck])
+               "--chunk", "8", "--dp", "2", "--packed", "--save", ck])
     out = capsys.readouterr().out
     assert "saved checkpoint" in out
     from quip_tpu.pack.model import load_checkpoint
