@@ -317,3 +317,27 @@ def test_engine_kv_quant_chunked(tiny_model):
     eng = Engine(params, cfg, max_batch=2, max_seq=64, kv_quant=True)
     reqs = eng.run([dict(prompt=[2, 4, 6], max_new_tokens=9)], chunked=True)
     assert len(reqs[0].generated) >= 9
+
+
+@pytest.mark.parametrize("name", ["llama-tiny", "bloom-tiny"])
+def test_engine_greedy_all_families(name):
+    """Engine decode (RoPE and ALiBi cache paths) matches straight-line
+    greedy for the non-OPT families too."""
+    cfg = get_config(name)
+    params = M.init_params(jax.random.key(3), cfg)
+    prompt = [2, 5, 8]
+    n_new = 5
+    eng = Engine(params, cfg, max_batch=2, max_seq=64)
+    [req] = eng.run([dict(prompt=prompt, max_new_tokens=n_new)])
+    want = _greedy_reference(params, cfg, prompt, n_new)
+    assert req.generated[:n_new] == want, (name, req.generated, want)
+
+
+@pytest.mark.parametrize("name", ["llama-tiny", "bloom-tiny"])
+def test_engine_kv_quant_all_families(name):
+    """int8 KV arenas work for RoPE and ALiBi paths."""
+    cfg = get_config(name)
+    params = M.init_params(jax.random.key(3), cfg)
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, kv_quant=True)
+    [req] = eng.run([dict(prompt=[2, 5, 8], max_new_tokens=5)])
+    assert len(req.generated) >= 5
