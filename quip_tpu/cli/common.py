@@ -92,7 +92,13 @@ def quant_config_from_args(args) -> QuantConfig:
 
 
 def load_model(args):
-    """Resolve (params, cfg) from the CLI model/weights flags."""
+    """Resolve (params, cfg) from the CLI model/weights flags.
+
+    With --host_offload the tree is built entirely in host RAM (numpy
+    leaves; HF checkpoints stream tensor-by-tensor off disk) — the device
+    only ever sees one block at a time inside the quantize driver.
+    """
+    on_host = bool(getattr(args, "host_offload", False))
     cfg = get_config(args.model)
     if args.seqlen:
         cfg = replace(cfg, max_seq=args.seqlen)
@@ -102,11 +108,18 @@ def load_model(args):
     cfg = replace(cfg, dtype=args.dtype)
     if args.weights and args.weights != "random":
         from quip_tpu.models.hf_import import load_hf_params
-        params, _ = load_hf_params(args.weights, cfg, dtype=args.dtype)
+        params, _ = load_hf_params(args.weights, cfg, dtype=args.dtype,
+                                   on_host=on_host)
     else:
-        params = M.init_params(jax.random.key(args.seed
-                                              if hasattr(args, "seed")
-                                              else 0), cfg)
+        seed = args.seed if hasattr(args, "seed") else 0
+        if on_host:
+            import numpy as np
+            # random init lands on the host CPU backend, never the TPU
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = M.init_params(jax.random.key(seed), cfg)
+            params = jax.tree.map(np.asarray, params)
+        else:
+            params = M.init_params(jax.random.key(seed), cfg)
     return params, cfg
 
 

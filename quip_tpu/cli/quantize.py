@@ -69,19 +69,13 @@ def main(argv=None):
                     "shards are contiguous, so only a window spanning the "
                     "whole batch actually runs data-parallel")
 
+    # --host_offload: common.load_model builds the tree host-side (numpy
+    # leaves; HF checkpoints stream tensor-by-tensor) — the device never
+    # holds more than one block + activations at any point of the run.
     params, cfg = common.load_model(args)
     if args.fuse:
         from quip_tpu.models import model as M
         params = M.fuse_params(params, cfg)
-    if args.host_offload:
-        # move the tree to host NOW so the device copies made during load
-        # are freed before calibration; quantize_model then streams one
-        # block at a time. (NOTE: loading itself still materializes the
-        # full tree on device once — models too big even for that need a
-        # host-side loader, a known limitation.)
-        import numpy as _np
-        params = jax.tree.map(
-            lambda x: _np.asarray(x) if hasattr(x, "dtype") else x, params)
     (calib, test_stream), seqlen = common.get_data(args, cfg)
     qcfg = common.quant_config_from_args(args)
 
@@ -108,7 +102,8 @@ def main(argv=None):
         from quip_tpu.pack.model import pack_quantized_model, save_checkpoint
         to_save = newp
         if args.packed and args.wbits < 16:
-            to_save = pack_quantized_model(newp, cfg, art, args.wbits)
+            to_save = pack_quantized_model(newp, cfg, art, args.wbits,
+                                           on_host=args.host_offload)
         save_checkpoint(args.save, to_save, {
             "model": args.model, "wbits": args.wbits, "quant": args.quant,
             "packed": bool(args.packed), "seqlen": seqlen,

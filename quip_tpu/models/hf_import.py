@@ -45,21 +45,71 @@ def _iter_state_dict(path: str) -> Iterator[Tuple[str, np.ndarray]]:
         raise FileNotFoundError(f"no checkpoint files under {path!r}")
 
 
+class LazyStateDict:
+    """Read-on-demand view over sharded *.safetensors files.
+
+    Each tensor is read from disk only when accessed and never retained
+    here, so building a param tree from an N-GB checkpoint peaks at
+    ~(output tree + one tensor) of host RAM instead of 2N GB. This is the
+    host-side loader required to quantize models whose fp16 state dict
+    doesn't fit alongside the built tree (70B on a small host).
+    """
+
+    def __init__(self, files):
+        from safetensors import safe_open
+
+        self._handles = {}
+        self._where: Dict[str, str] = {}
+        for f in files:
+            h = safe_open(f, framework="np")
+            self._handles[f] = h
+            for k in h.keys():
+                self._where[k] = f
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        return self._handles[self._where[k]].get_tensor(k)
+
+    def __contains__(self, k: str) -> bool:
+        return k in self._where
+
+    def __iter__(self):
+        return iter(self._where)
+
+    def __len__(self):
+        return len(self._where)
+
+    def keys(self):
+        return self._where.keys()
+
+
 def state_dict_to_params(sd: Dict[str, np.ndarray],
-                         cfg: ModelConfig, dtype=None) -> Dict[str, Any]:
-    """Map an HF state dict (name -> array) to a quip_tpu param tree."""
+                         cfg: ModelConfig, dtype=None,
+                         on_host: bool = False) -> Dict[str, Any]:
+    """Map an HF state dict (name -> array) to a quip_tpu param tree.
+
+    ``on_host``: build numpy leaves in host RAM instead of device arrays —
+    the tree never touches the accelerator (pairs with the quantize
+    driver's ``host_offload`` block streaming; sd may be a LazyStateDict
+    so neither the state dict nor the tree is ever double-resident).
+    """
     dtype = jnp.dtype(dtype or cfg.dtype)
     fam = cfg.family
 
+    if on_host:
+        def _as(arr):
+            return np.asarray(arr).astype(dtype)   # ml_dtypes handles bf16
+    else:
+        def _as(arr):
+            return jnp.asarray(np.asarray(arr), dtype)
+
     def g(name):
-        arr = sd[name]
-        return jnp.asarray(np.asarray(arr), dtype)
+        return _as(sd[name])
 
     def maybe(name):
         return g(name) if name in sd else None
 
     def lin_t(name):           # HF Linear weight (out, in) -> ours (in, out)
-        return jnp.asarray(np.asarray(sd[name]).T, dtype)
+        return _as(np.asarray(sd[name]).T)
 
     D, H, KV, hd = cfg.d_model, cfg.n_heads, cfg.kv_heads, cfg.hd
 
@@ -141,7 +191,7 @@ def state_dict_to_params(sd: Dict[str, np.ndarray],
             def take(j):
                 w = qkv_w[:, j].reshape(H * hd, D).T      # (in, out)
                 bb = qkv_b[:, j].reshape(H * hd)
-                return (jnp.asarray(w, dtype), jnp.asarray(bb, dtype))
+                return (_as(w), _as(bb))
 
             (wq, bq), (wk, bk), (wv, bv) = take(0), take(1), take(2)
             blocks.append({
@@ -167,22 +217,30 @@ def state_dict_to_params(sd: Dict[str, np.ndarray],
         raise ValueError(fam)
 
     import jax
-    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    stack = np.stack if on_host else jnp.stack
+    params["blocks"] = jax.tree.map(lambda *xs: stack(xs), *blocks)
     return params
 
 
 def load_hf_params(path_or_name: str, cfg: ModelConfig | None = None,
-                   dtype=None):
-    """Load from a local checkpoint dir (or transformers cache)."""
+                   dtype=None, on_host: bool = False):
+    """Load from a local checkpoint dir (or transformers cache).
+
+    ``on_host`` keeps the result in host RAM (numpy leaves) and, for
+    safetensors checkpoints, streams tensors one at a time off disk
+    (LazyStateDict) — nothing is materialized twice and nothing lands on
+    the accelerator. Use together with the driver's ``host_offload``.
+    """
     if cfg is None:
         cfg = get_config(path_or_name)
     if os.path.isdir(path_or_name):
-        sd = dict(_iter_state_dict(path_or_name))
+        path = path_or_name
     else:
         from huggingface_hub import snapshot_download
 
         path = snapshot_download(path_or_name,
                                  allow_patterns=["*.safetensors", "*.bin",
                                                  "*.json"])
-        sd = dict(_iter_state_dict(path))
-    return state_dict_to_params(sd, cfg, dtype), cfg
+    sts = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    sd = LazyStateDict(sts) if sts else dict(_iter_state_dict(path))
+    return state_dict_to_params(sd, cfg, dtype, on_host=on_host), cfg

@@ -564,15 +564,19 @@ def fuse_params(params: Params, cfg: ModelConfig) -> Params:
     blocks)."""
     blocks = dict(params["blocks"])
     attn = dict(blocks["attn"])
-    attn["wqkv"] = jnp.concatenate(
+    # type-preserving: host-side (numpy) trees stay on host (host_offload)
+    import numpy as np
+    cat = np.concatenate if isinstance(attn["wq"], np.ndarray) \
+        else jnp.concatenate
+    attn["wqkv"] = cat(
         [attn.pop("wq"), attn.pop("wk"), attn.pop("wv")], axis=-1)
     if "bq" in attn:
-        attn["bqkv"] = jnp.concatenate(
+        attn["bqkv"] = cat(
             [attn.pop("bq"), attn.pop("bk"), attn.pop("bv")], axis=-1)
     blocks["attn"] = attn
     if cfg.act == "silu_glu":
         mlp = dict(blocks["mlp"])
-        mlp["wgu"] = jnp.concatenate(
+        mlp["wgu"] = cat(
             [mlp.pop("wg"), mlp.pop("wu")], axis=-1)
         blocks["mlp"] = mlp
     out = dict(params)

@@ -26,12 +26,17 @@ def pack_quantized_model(
     cfg: ModelConfig,
     artifacts,                      # QuantizedModelArtifacts
     wbits: int,
+    on_host: bool = False,
 ) -> Dict[str, Any]:
     """Swap each quantized linear's dense leaf for a PackedLinear.
 
     The result is a drop-in param tree: models/model.py routes every
     projection through ops.qlinear.linear_apply, which dispatches on leaf
     type. Blocks stay stacked (scan-compatible — PackedLinear is a pytree).
+
+    ``on_host``: pull each layer's packed planes back to host as they are
+    built and stack in numpy — device residency stays at one layer
+    (the host_offload path for models whose packed form exceeds HBM).
     """
     specs = M.linear_specs(cfg, fused="wqkv" in params["blocks"]["attn"])
     blocks = params["blocks"]
@@ -43,9 +48,12 @@ def pack_quantized_model(
             if res is None or res.codes is None:
                 continue
             packed = pack_layer_result(res, wbits)
+            if on_host:
+                packed = jax.tree.map(np.asarray, packed)
             layer = _set_path(layer, spec.path, packed)
         per_layer.append(layer)
-    new_blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    stack = np.stack if on_host else jnp.stack
+    new_blocks = jax.tree.map(lambda *xs: stack(xs), *per_layer)
     out = dict(params)
     out["blocks"] = new_blocks
     return out

@@ -63,7 +63,9 @@ def _block_inputs(params, cfg: ModelConfig, tokens: jax.Array,
         pos = jnp.broadcast_to(jnp.arange(S), tk.shape)
         return M.embed(p, tk, cfg, pos)
 
-    embed_params = {k: params[k] for k in ("embed",)}
+    # one up-front device transfer (params may be a host-side numpy tree)
+    embed_params = jax.tree.map(jnp.asarray, {k: params[k]
+                                              for k in ("embed",)})
     outs = []
     for i in range(0, N, chunk):
         outs.append(emb(embed_params, tokens[i:i + chunk]))
@@ -134,7 +136,11 @@ def quantize_model(
     ``host_offload``: keep the (possibly huge) stacked blocks in host
     memory and move a single block to the device at a time — the TPU analog
     of the reference's CPU↔GPU block streaming (opt.py:94-181), required to
-    quantize 70B on a small slice.
+    quantize 70B on a small slice. Quantized layers and per-layer artifacts
+    (dense W_hat + codes) are pulled back to host as they are produced, so
+    device residency stays at one block + calibration activations
+    regardless of model size; pair with a host-built params tree
+    (cli.common.load_model --host_offload).
     """
     if qcfg.wbits >= 16:
         return params, QuantizedModelArtifacts()
@@ -149,10 +155,14 @@ def quantize_model(
     inps = _block_inputs(params, cfg, calib_tokens, chunk)
     accumulate, replay = _make_block_fns(cfg, S, chunk)
 
+    import numpy as _np
+
+    def _to_host(tree):
+        return jax.tree.map(_np.asarray, tree)
+
     blocks = params["blocks"]
     if host_offload:
-        import numpy as _np
-        blocks = jax.tree.map(lambda x: _np.asarray(x), blocks)
+        blocks = _to_host(blocks)
     new_block_list = []
     n_layers = cfg.n_layers
 
@@ -160,12 +170,13 @@ def quantize_model(
         os.makedirs(resume_dir, exist_ok=True)
 
     for li in range(n_layers):
-        template = jax.tree.map(lambda x: jnp.asarray(x[li]), blocks) \
-            if resume_dir else None
+        template = jax.tree.map(lambda x: x[li], blocks) \
+            if resume_dir else None          # shapes/structure only
         resumed = _load_resume_layer(resume_dir, li, template)
         if resumed is not None:
             new_layer, saved_err = resumed
-            new_block_list.append(new_layer)
+            new_block_list.append(_to_host(new_layer) if host_offload
+                                  else new_layer)
             art.errors.update(saved_err)
             outs = []
             for i in range(0, N, chunk):
@@ -210,11 +221,14 @@ def quantize_model(
             res = qlayer(Wt, H[spec.tap], lkey)
             What = res.W_hat.T.astype(Wm.dtype)
             new_layer = _set_path(new_layer, spec.path, What)
-            art.results[full_name] = res
             art.errors[full_name] = float(res.error)
             art.Hmags[full_name] = float(res.Hmag)
+            # host_offload: per-layer artifacts hold full dense W_hat +
+            # codes; left on device they'd re-materialize the whole model
+            art.results[full_name] = _to_host(res) if host_offload else res
             if keep_hessians:
-                art.hessians[full_name] = H[spec.tap]
+                art.hessians[full_name] = (
+                    _to_host(H[spec.tap]) if host_offload else H[spec.tap])
         art.times[f"layers.{li}"] = time.time() - t0
 
         # --- pass 2: replay with quantized weights (opt.py:172-174) ---
@@ -223,6 +237,8 @@ def quantize_model(
             outs.append(replay(new_layer, inps[i:i + chunk]))
         inps = jnp.concatenate(outs, axis=0)
 
+        if host_offload:
+            new_layer = _to_host(new_layer)
         new_block_list.append(new_layer)
         if resume_dir:
             _save_resume_layer(resume_dir, li, new_layer, {
@@ -235,7 +251,8 @@ def quantize_model(
                   f"error={err:.4f} t={art.times[f'layers.{li}']:.1f}s",
                   flush=True)
 
-    new_blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *new_block_list)
+    stack = _np.stack if host_offload else jnp.stack
+    new_blocks = jax.tree.map(lambda *xs: stack(xs), *new_block_list)
     new_params = dict(params)
     new_params["blocks"] = new_blocks
     return new_params, art
@@ -249,14 +266,22 @@ def _save_resume_layer(resume_dir: str, li: int, layer, errors) -> None:
     import numpy as np
 
     from quip_tpu.pack.format import PACK_FORMAT_VERSION
+    from quip_tpu.pack.model import _leaf_to_np
 
     leaves, _ = jax.tree.flatten(layer)
+    arrays, dtypes = {}, []
+    for i, x in enumerate(leaves):
+        # npz mangles ml_dtypes (bf16 -> void); store integer views + names
+        a, name = _leaf_to_np(x)
+        arrays[f"leaf_{i}"] = a
+        dtypes.append(name or "")
     np.savez(
         _resume_path(resume_dir, li),
         __format_version__=np.asarray(PACK_FORMAT_VERSION, np.int64),
         __errors__=np.asarray(list(errors.values()), np.float64),
         __error_names__=np.asarray(list(errors.keys())),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        __leaf_dtypes__=np.asarray(dtypes),
+        **arrays,
     )
 
 
@@ -279,8 +304,17 @@ def _load_resume_layer(resume_dir, li, template):
             f"resume file {path} uses packed-plane layout v{ver}; this "
             f"build writes v{PACK_FORMAT_VERSION}. Delete the resume dir "
             f"and re-run the quantization.")
+    import ml_dtypes
+
     n = len([k for k in data.files if k.startswith("leaf_")])
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    dtypes = [str(s) for s in data["__leaf_dtypes__"]] \
+        if "__leaf_dtypes__" in data.files else [""] * n
+    leaves = []
+    for i in range(n):
+        a = data[f"leaf_{i}"]
+        if dtypes[i]:
+            a = a.view(getattr(ml_dtypes, dtypes[i]))
+        leaves.append(jnp.asarray(a))
     treedef = jax.tree.structure(template)
     tmpl_leaves = jax.tree.leaves(template)
     for i, (got, want) in enumerate(zip(leaves, tmpl_leaves)):

@@ -138,15 +138,27 @@ def test_resume_and_host_offload(tiny_setup, tmp_path):
 
     full, _ = quantize_model(params, cfg, calib, qcfg, jax.random.key(9),
                              chunk=4)
-    first, _ = quantize_model(params, cfg, calib, qcfg, jax.random.key(9),
-                              chunk=4, resume_dir=rdir, host_offload=True)
+    # host_offload consumes AND produces a host-side (numpy) tree: blocks,
+    # per-layer artifacts, and the final stack never re-materialize the
+    # whole model on device
+    host_params = dict(params)
+    host_params["blocks"] = jax.tree.map(np.asarray, params["blocks"])
+    first, art1 = quantize_model(host_params, cfg, calib, qcfg,
+                                 jax.random.key(9), chunk=4,
+                                 resume_dir=rdir, host_offload=True)
+    assert all(isinstance(x, np.ndarray)
+               for x in jax.tree.leaves(first["blocks"]))
+    assert all(isinstance(x, np.ndarray)
+               for r in art1.results.values() for x in jax.tree.leaves(r))
     # second run resumes every layer from disk
     second, art2 = quantize_model(params, cfg, calib, qcfg,
                                   jax.random.key(9), chunk=4,
                                   resume_dir=rdir)
-    for a, b in zip(jax.tree.leaves(full["blocks"]),
-                    jax.tree.leaves(second["blocks"])):
+    for a, b, c in zip(jax.tree.leaves(full["blocks"]),
+                       jax.tree.leaves(second["blocks"]),
+                       jax.tree.leaves(first["blocks"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
     assert len(art2.errors) > 0   # errors restored from resume files
 
 
@@ -217,3 +229,52 @@ def test_resume_rejects_stale_format(tmp_path):
     template = jax.tree.map(lambda x: x[0], params["blocks"])
     with pytest.raises(ValueError, match="layout v1"):
         D._load_resume_layer(rdir, 0, template)
+
+
+def test_resume_roundtrips_bfloat16(tmp_path):
+    """Resume files must round-trip ml_dtypes leaves (bfloat16 is the TPU
+    default model dtype; raw np.savez mangles it to void16)."""
+    import ml_dtypes
+
+    from quip_tpu.quantize import driver as D
+
+    layer = {"w": np.arange(12, dtype=np.float32).reshape(3, 4)
+             .astype(ml_dtypes.bfloat16),
+             "b": np.ones((3,), np.float32)}
+    D._save_resume_layer(str(tmp_path), 0, layer, {"layers.0.w": 0.5})
+    got, errs = D._load_resume_layer(str(tmp_path), 0, layer)
+    assert got["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got["w"]), layer["w"])
+    np.testing.assert_array_equal(np.asarray(got["b"]), layer["b"])
+    assert errs == {"layers.0.w": 0.5}
+
+
+def test_host_offload_end_to_end_packed(tiny_setup, tmp_path):
+    """The full 70B-on-small-slice flow at tiny scale: host-built params ->
+    host_offload quantize -> on_host pack -> checkpoint -> reload serves
+    the same logits as the all-device flow."""
+    from quip_tpu.pack.model import (load_checkpoint, pack_quantized_model,
+                                     save_checkpoint)
+
+    cfg, params, calib, test, seqlen = tiny_setup
+    qcfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+
+    host_params = jax.tree.map(np.asarray, params)
+    newp, art = quantize_model(host_params, cfg, calib, qcfg,
+                               jax.random.key(3), chunk=4,
+                               host_offload=True)
+    packed = pack_quantized_model(newp, cfg, art, 2, on_host=True)
+    # the packed tree is host-side numpy throughout
+    assert all(isinstance(x, np.ndarray)
+               for x in jax.tree.leaves(packed["blocks"]))
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, packed, {"wbits": 2})
+    loaded, _ = load_checkpoint(ck)
+
+    dev_newp, dev_art = quantize_model(params, cfg, calib, qcfg,
+                                       jax.random.key(3), chunk=4)
+    dev_packed = pack_quantized_model(dev_newp, cfg, dev_art, 2)
+    tokens = np.asarray(test[:32].reshape(1, 32), np.int32)
+    got = np.asarray(M.forward(loaded, tokens, cfg))
+    want = np.asarray(M.forward(dev_packed, tokens, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -100,3 +100,32 @@ def test_bloom_parity():
         want = hf(torch.tensor(tokens)).logits.numpy()
     got = M.forward(params, np.asarray(tokens, np.int32), cfg)
     _compare(want, got)
+
+
+def test_on_host_lazy_safetensors_import(tmp_path):
+    """--host_offload loader: safetensors stream tensor-by-tensor
+    (LazyStateDict) into a pure-numpy tree; forward parity with the
+    device-side import."""
+    safetensors = pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+
+    from quip_tpu.models.hf_import import load_hf_params
+
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        ffn_dim=64, num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, do_layer_norm_before=True)
+    with torch.no_grad():
+        hf = transformers.OPTForCausalLM(hf_cfg).eval()
+    save_file(_np_sd(hf), str(tmp_path / "model.safetensors"))
+
+    cfg = ModelConfig(family="opt", vocab_size=128, d_model=32, n_layers=2,
+                      n_heads=4, d_ff=64, max_seq=64)
+    host, _ = load_hf_params(str(tmp_path), cfg, dtype="float32",
+                             on_host=True)
+    assert all(isinstance(x, np.ndarray) for x in jax.tree.leaves(host))
+    dev, _ = load_hf_params(str(tmp_path), cfg, dtype="float32")
+    tokens = np.array([[1, 5, 9, 2]], np.int32)
+    np.testing.assert_allclose(np.asarray(M.forward(host, tokens, cfg)),
+                               np.asarray(M.forward(dev, tokens, cfg)),
+                               atol=1e-6)
