@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv (and gate+up) before quantizing: one "
                         "rotation + one packed matmul per group")
+    p.add_argument("--quant_head", action="store_true",
+                   help="also quantize the (untied) lm_head — the head "
+                        "matvec dominates the fixed per-decode-step cost; "
+                        "no reference counterpart")
     p.add_argument("--host_offload", action="store_true",
                    help="keep stacked blocks in host RAM, one block on "
                         "device at a time (quantize 70B on a small slice; "
@@ -94,7 +98,8 @@ def main(argv=None):
                                    jax.random.key(args.seed),
                                    chunk=args.chunk, progress=True,
                                    resume_dir=args.resume_dir,
-                                   host_offload=args.host_offload)
+                                   host_offload=args.host_offload,
+                                   quant_head=args.quant_head)
     print(f"Total quant time: {time.time() - t0:.2f}s")
     print(f"Total proxy error: {art.total_error:.4f}")
 

@@ -340,15 +340,22 @@ def embed(params: Params, tokens: jax.Array, cfg: ModelConfig,
     return x
 
 
-def unembed(params: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+def head_input(params: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Hidden states as seen by the lm_head matmul (final norm + OPT's
+    project_out) — also the calibration tap for head quantization."""
     if params.get("final_ln") is not None:
         x = norm(params["final_ln"], x, cfg)
-    e = params["embed"]
     if cfg.embed_proj_dim is not None:
-        x = x @ e["proj_out"]
+        x = x @ params["embed"]["proj_out"]
+    return x
+
+
+def unembed(params: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    x = head_input(params, x, cfg)
     if cfg.tie_word_embeddings:
-        return x @ e["tokens"].T
-    return x @ params["lm_head"]
+        return x @ params["embed"]["tokens"].T
+    # dense-or-packed dispatch: a quantized lm_head is a PackedLinear leaf
+    return linear_apply(params["lm_head"], x)
 
 
 # ---------------------------------------------------------------------------

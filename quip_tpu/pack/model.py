@@ -56,6 +56,12 @@ def pack_quantized_model(
     new_blocks = jax.tree.map(lambda *xs: stack(xs), *per_layer)
     out = dict(params)
     out["blocks"] = new_blocks
+    head = artifacts.results.get("lm_head")
+    if head is not None and head.codes is not None:
+        packed = pack_layer_result(head, wbits)
+        if on_host:
+            packed = jax.tree.map(np.asarray, packed)
+        out["lm_head"] = packed           # unembed dispatches on leaf type
     return out
 
 

@@ -121,6 +121,7 @@ def quantize_model(
     progress: bool = False,
     resume_dir: Optional[str] = None,
     host_offload: bool = False,
+    quant_head: bool = False,
 ) -> tuple[Dict[str, Any], QuantizedModelArtifacts]:
     """Quantize every linear in every block, layer-streaming.
 
@@ -141,6 +142,13 @@ def quantize_model(
     device residency stays at one block + calibration activations
     regardless of model size; pair with a host-built params tree
     (cli.common.load_model --host_offload).
+
+    ``quant_head``: also quantize the (untied) lm_head — no reference
+    counterpart (the reference leaves it fp16, opt.py:283-286). At decode
+    the head matvec is the single largest matmul (V×d) and dominates the
+    fixed per-step cost, so a packed head is a serving win; calibration
+    taps the true head input (final norm + project_out) on the *quantized*
+    model's activations, consistent with sequential-GPTQ semantics.
     """
     if qcfg.wbits >= 16:
         return params, QuantizedModelArtifacts()
@@ -255,6 +263,51 @@ def quantize_model(
     new_blocks = jax.tree.map(lambda *xs: stack(xs), *new_block_list)
     new_params = dict(params)
     new_params["blocks"] = new_blocks
+
+    if quant_head:
+        if cfg.tie_word_embeddings or params.get("lm_head") is None:
+            raise ValueError(
+                "quant_head requires an untied lm_head: tied families "
+                "(OPT/BLOOM) reuse the token table, which must stay dense "
+                "for the embedding gather")
+        t0 = time.time()
+        # calibration tap: the exact head input (final norm + project_out)
+        # on the quantized model's last-block outputs (`inps` at this point)
+        aux = {"final_ln": jax.tree.map(jnp.asarray, params["final_ln"])
+               if params.get("final_ln") is not None else None}
+        if cfg.embed_proj_dim is not None:
+            aux["embed"] = {"proj_out": jnp.asarray(
+                params["embed"]["proj_out"])}
+
+        @jax.jit
+        def head_tap(aux_p, x, H_init):
+            z = M.head_input(aux_p, x, cfg)
+            zt = z.reshape(-1, z.shape[-1]).astype(jnp.float32)
+            return H_init + jnp.matmul(zt.T, zt,
+                                       precision=jax.lax.Precision.HIGHEST)
+
+        E = int(_np.shape(params["lm_head"])[0])
+        Hh = jnp.zeros((E, E), jnp.float32)
+        for i in range(0, N, chunk):
+            Hh = head_tap(aux, inps[i:i + chunk], Hh)
+        Hh = Hh / N
+        Wh = jnp.asarray(params["lm_head"]).T      # solver wants (m=V, d=E)
+        hkey = jax.random.fold_in(key, hash("lm_head") % (2**31))
+        res = qlayer(Wh, Hh, hkey)
+        new_head = res.W_hat.T.astype(jnp.dtype(cfg.dtype))
+        art.errors["lm_head"] = float(res.error)
+        art.Hmags["lm_head"] = float(res.Hmag)
+        art.results["lm_head"] = _to_host(res) if host_offload else res
+        if keep_hessians:
+            art.hessians["lm_head"] = _to_host(Hh) if host_offload else Hh
+        if host_offload:
+            new_head = _np.asarray(new_head)
+        new_params["lm_head"] = new_head
+        art.times["lm_head"] = time.time() - t0
+        if progress:
+            print(f"[quantize] lm_head error={art.errors['lm_head']:.4f} "
+                  f"t={art.times['lm_head']:.1f}s", flush=True)
+
     return new_params, art
 
 

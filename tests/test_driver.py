@@ -278,3 +278,44 @@ def test_host_offload_end_to_end_packed(tiny_setup, tmp_path):
     got = np.asarray(M.forward(loaded, tokens, cfg))
     want = np.asarray(M.forward(dev_packed, tokens, cfg))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quant_head_untied(tiny_setup):
+    """--quant_head: the (untied) lm_head is quantized against the true
+    head-input Hessian, packs, and serves (packed-vs-dense parity)."""
+    from quip_tpu.pack.model import pack_quantized_model
+
+    cfg = get_config("llama-tiny")
+    params = M.init_params(jax.random.key(21), cfg)
+    rng = np.random.default_rng(7)
+    stream = _toy_stream(rng, cfg.vocab_size, 1024)
+    calib = jnp.asarray(stream[:512].reshape(8, 64))
+    qcfg = QuantConfig.incoherence(wbits=4, method="ldlq")
+    newp, art = quantize_model(params, cfg, calib, qcfg, jax.random.key(22),
+                               chunk=4, quant_head=True)
+    assert "lm_head" in art.errors and np.isfinite(art.errors["lm_head"])
+    assert not np.array_equal(np.asarray(newp["lm_head"]),
+                              np.asarray(params["lm_head"]))
+
+    # quality: quantized-head model still tracks the fp model's logits
+    win = jnp.asarray(stream[512: 512 + 2 * 64].reshape(2, 64))
+    ref = np.asarray(M.forward(params, win, cfg))
+    got = np.asarray(M.forward(newp, win, cfg))
+    assert np.isfinite(got).all()
+    base = float(np.mean(ref ** 2))
+    assert float(np.mean((got - ref) ** 2)) < base, "head quant destroyed logits"
+
+    packed = pack_quantized_model(newp, cfg, art, 4)
+    from quip_tpu.pack.format import PackedLinear
+    assert isinstance(packed["lm_head"], PackedLinear)
+    lg_dense = np.asarray(M.forward(newp, win, cfg))
+    lg_packed = np.asarray(M.forward(packed, win, cfg))
+    np.testing.assert_allclose(lg_packed, lg_dense, rtol=2e-3, atol=2e-3)
+
+
+def test_quant_head_rejects_tied(tiny_setup):
+    cfg, params, calib, test, seqlen = tiny_setup   # opt-tiny is tied
+    with pytest.raises(ValueError, match="untied"):
+        quantize_model(params, cfg, calib,
+                       QuantConfig.incoherence(wbits=4, method="ldlq"),
+                       jax.random.key(1), chunk=4, quant_head=True)
