@@ -87,7 +87,9 @@ def main():
     gc.collect()
 
     _t0 = _t.time()
-    packed = _packed_llama(cfg, bits=2, seed=0)
+    # head_bits=2: the --quant_head serving configuration (packed lm_head;
+    # the head matvec dominates the fixed per-step cost) — +6% decode
+    packed = _packed_llama(cfg, bits=2, seed=0, head_bits=2)
     print(f"# built packed in {_t.time()-_t0:.0f}s", file=sys.stderr)
     _t0 = _t.time()
     tps_packed = bench_decode(packed, cfg, steps=steps)

@@ -69,6 +69,10 @@ def add_quant_args(p: argparse.ArgumentParser):
     p.add_argument("--lazy_batch", action="store_true",
                    help="(always on in this framework: solvers are blocked; "
                         "kept for CLI parity)")
+    p.add_argument("--quant_head", action="store_true",
+                   help="also quantize the (untied) lm_head — the head "
+                        "matvec dominates the fixed per-decode-step cost; "
+                        "no reference counterpart (+6%% decode at 7B)")
 
 
 def quant_config_from_args(args) -> QuantConfig:

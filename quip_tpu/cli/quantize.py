@@ -35,10 +35,6 @@ def main(argv=None):
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv (and gate+up) before quantizing: one "
                         "rotation + one packed matmul per group")
-    p.add_argument("--quant_head", action="store_true",
-                   help="also quantize the (untied) lm_head — the head "
-                        "matvec dominates the fixed per-decode-step cost; "
-                        "no reference counterpart")
     p.add_argument("--host_offload", action="store_true",
                    help="keep stacked blocks in host RAM, one block on "
                         "device at a time (quantize 70B on a small slice; "

@@ -54,7 +54,8 @@ def main(argv=None):
         qcfg = common.quant_config_from_args(args)
         print(f"quantizing in place: {qcfg.method} w{qcfg.wbits}")
         params, _ = quantize_model(params, cfg, jnp.asarray(calib), qcfg,
-                                   jax.random.key(args.seed), progress=True)
+                                   jax.random.key(args.seed), progress=True,
+                                   quant_head=args.quant_head)
 
     from quip_tpu.eval.zeroshot.lm import JaxLM, ByteTokenizer, \
         load_hf_tokenizer
