@@ -61,6 +61,9 @@ def main():
     from __graft_entry__ import _packed_llama
     from quip_tpu.models import get_config
     from quip_tpu.models import model as M
+    from quip_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()   # re-runs skip the 20-40s per-shape compiles
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:

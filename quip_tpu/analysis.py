@@ -102,6 +102,7 @@ def proxy_eval(
     proxy losses (opt_proxy.py semantics: no model forward needed)."""
     from quip_tpu.models import model as M
     from quip_tpu.quantize.pipeline import quantize_layer
+    from quip_tpu.utils import name_salt as _name_salt
 
     specs = M.linear_specs(cfg)
     out: Dict[str, float] = {}
@@ -119,7 +120,7 @@ def proxy_eval(
             W = layer
             for k in spec.path:
                 W = W[k]
-            lkey = jax.random.fold_in(key, hash(name) % (2**31))
+            lkey = jax.random.fold_in(key, _name_salt(name))
             res = quantize_layer(W.T, jnp.asarray(hessians[name]), qcfg,
                                  lkey)
             out[name] = float(res.error)

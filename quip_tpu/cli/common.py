@@ -28,6 +28,10 @@ def add_model_args(p: argparse.ArgumentParser):
                         "quantize+eval), float32 elsewhere")
     p.add_argument("--seqlen", type=int, default=None,
                    help="override model seqlen (reference README.md:14-15)")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(~/.cache/quip_tpu/xla; re-runs skip the 20-40s "
+                        "per-shape compiles)")
 
 
 def add_data_args(p: argparse.ArgumentParser):
@@ -102,6 +106,9 @@ def load_model(args):
     leaves; HF checkpoints stream tensor-by-tensor off disk) — the device
     only ever sees one block at a time inside the quantize driver.
     """
+    if not getattr(args, "no_compile_cache", False):
+        from quip_tpu.utils import enable_compile_cache
+        enable_compile_cache()
     on_host = bool(getattr(args, "host_offload", False))
     cfg = get_config(args.model)
     if args.seqlen:

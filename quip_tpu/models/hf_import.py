@@ -40,9 +40,22 @@ def _iter_state_dict(path: str) -> Iterator[Tuple[str, np.ndarray]]:
         for f in bins:
             sd = torch.load(f, map_location="cpu", weights_only=True)
             for k, v in sd.items():
-                yield k, v.float().numpy()
+                yield k, _torch_to_np(v)
     else:
         raise FileNotFoundError(f"no checkpoint files under {path!r}")
+
+
+def _torch_to_np(v) -> np.ndarray:
+    """torch tensor -> numpy without dtype inflation (bf16 has no native
+    numpy conversion; go through a uint16 view into ml_dtypes)."""
+    import torch
+
+    if v.dtype == torch.bfloat16:
+        import ml_dtypes
+
+        return v.contiguous().view(torch.uint16).numpy() \
+            .view(ml_dtypes.bfloat16)
+    return v.numpy()
 
 
 class LazyStateDict:
@@ -68,6 +81,46 @@ class LazyStateDict:
 
     def __getitem__(self, k: str) -> np.ndarray:
         return self._handles[self._where[k]].get_tensor(k)
+
+    def __contains__(self, k: str) -> bool:
+        return k in self._where
+
+    def __iter__(self):
+        return iter(self._where)
+
+    def __len__(self):
+        return len(self._where)
+
+    def keys(self):
+        return self._where.keys()
+
+
+class LazyBinStateDict:
+    """One-shard-resident view over sharded pytorch_model-*.bin files.
+
+    Uses the HF ``pytorch_model.bin.index.json`` weight map to load one
+    shard at a time (HF shards are layer-contiguous, so the sequential
+    access pattern of state_dict_to_params touches each shard ~once).
+    Peak host RAM: output tree + one shard, instead of 2x model size.
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "pytorch_model.bin.index.json")) as f:
+            idx = json.load(f)
+        self._where = {k: os.path.join(path, v)
+                       for k, v in idx["weight_map"].items()}
+        self._cur_file: str | None = None
+        self._cur_sd: Dict[str, Any] = {}
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        import torch
+
+        f = self._where[k]
+        if f != self._cur_file:
+            self._cur_sd = torch.load(f, map_location="cpu",
+                                      weights_only=True)
+            self._cur_file = f
+        return _torch_to_np(self._cur_sd[k])
 
     def __contains__(self, k: str) -> bool:
         return k in self._where
@@ -242,5 +295,13 @@ def load_hf_params(path_or_name: str, cfg: ModelConfig | None = None,
                                  allow_patterns=["*.safetensors", "*.bin",
                                                  "*.json"])
     sts = sorted(glob.glob(os.path.join(path, "*.safetensors")))
-    sd = LazyStateDict(sts) if sts else dict(_iter_state_dict(path))
+    if sts:
+        sd = LazyStateDict(sts)
+    elif os.path.exists(os.path.join(path, "pytorch_model.bin.index.json")):
+        sd = LazyBinStateDict(path)
+    else:
+        # single-file .bin: torch.load is all-at-once by nature; peak host
+        # RAM = checkpoint + output tree (no fp32 inflation — _torch_to_np
+        # keeps the stored dtype)
+        sd = dict(_iter_state_dict(path))
     return state_dict_to_params(sd, cfg, dtype, on_host=on_host), cfg

@@ -76,7 +76,17 @@ def _packed_linear_spec(name: str, q: PackedLinear,
     shape). Planes are halfword-spread transposed (layers, nwords, m):
     column-parallel shards the out-features (m, last) axis; row-parallel
     shards the packed-words (fan-in, middle) axis. ``layer_axis`` (e.g.
-    'pp') additionally shards the stacked-layers leading axis."""
+    'pp') additionally shards the stacked-layers leading axis.
+
+    Unstacked packed linears (the --quant_head lm_head: planes are 2-D,
+    no layer axis) are replicated — their output-side rotation mixes the
+    whole m axis, so a tp shard of the head would force collectives inside
+    the un-rotate; the head is read once per step and replication is the
+    right default."""
+    if q.planes[0].ndim == 2:
+        children, aux = q.tree_flatten()
+        return PackedLinear.tree_unflatten(
+            aux, jax.tree.map(lambda _: P(), children))
     la = layer_axis
     if name in _COL_PARALLEL:
         plane = P(la, None, "tp")

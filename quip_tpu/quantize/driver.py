@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from quip_tpu.models import model as M
+from quip_tpu.utils import name_salt as _name_salt
 from quip_tpu.models.config import ModelConfig
 from quip_tpu.quantize.config import QuantConfig
 from quip_tpu.quantize.pipeline import LayerQuantResult, quantize_layer
@@ -150,6 +151,14 @@ def quantize_model(
     taps the true head input (final norm + project_out) on the *quantized*
     model's activations, consistent with sequential-GPTQ semantics.
     """
+    if quant_head and (cfg.tie_word_embeddings or
+                       params.get("lm_head") is None):
+        # validated up-front: a 70B run must not stream every block through
+        # LDLQ for hours before discovering the head can't be quantized
+        raise ValueError(
+            "quant_head requires an untied lm_head: tied families "
+            "(OPT/BLOOM) reuse the token table, which must stay dense "
+            "for the embedding gather")
     if qcfg.wbits >= 16:
         return params, QuantizedModelArtifacts()
 
@@ -225,7 +234,7 @@ def quantize_model(
                 Wm = Wm[k]
             # model stores (in, out); solver wants (m=out, d=in)
             Wt = Wm.T
-            lkey = jax.random.fold_in(key, hash(full_name) % (2**31))
+            lkey = jax.random.fold_in(key, _name_salt(full_name))
             res = qlayer(Wt, H[spec.tap], lkey)
             What = res.W_hat.T.astype(Wm.dtype)
             new_layer = _set_path(new_layer, spec.path, What)
@@ -265,11 +274,6 @@ def quantize_model(
     new_params["blocks"] = new_blocks
 
     if quant_head:
-        if cfg.tie_word_embeddings or params.get("lm_head") is None:
-            raise ValueError(
-                "quant_head requires an untied lm_head: tied families "
-                "(OPT/BLOOM) reuse the token table, which must stay dense "
-                "for the embedding gather")
         t0 = time.time()
         # calibration tap: the exact head input (final norm + project_out)
         # on the quantized model's last-block outputs (`inps` at this point)
@@ -292,7 +296,7 @@ def quantize_model(
             Hh = head_tap(aux, inps[i:i + chunk], Hh)
         Hh = Hh / N
         Wh = jnp.asarray(params["lm_head"]).T      # solver wants (m=V, d=E)
-        hkey = jax.random.fold_in(key, hash("lm_head") % (2**31))
+        hkey = jax.random.fold_in(key, _name_salt("lm_head"))
         res = qlayer(Wh, Hh, hkey)
         new_head = res.W_hat.T.astype(jnp.dtype(cfg.dtype))
         art.errors["lm_head"] = float(res.error)

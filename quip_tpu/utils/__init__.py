@@ -1,0 +1,31 @@
+"""Shared small utilities."""
+import os
+import zlib
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache (verified working through
+    the axon TPU relay: a cached program loads in <0.5 s vs 20-40 s of
+    fresh XLA compile — the dominant cost of a quantization run is the
+    per-shape solver/model compiles, so re-runs become solve-bound).
+
+    All CLIs enable this by default (--no_compile_cache opts out); library
+    users call it explicitly."""
+    import jax
+
+    path = path or os.path.expanduser("~/.cache/quip_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # default thresholds skip sub-second programs; we want everything that
+    # took a real compile
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
+
+
+def name_salt(name: str) -> int:
+    """Deterministic 31-bit salt for deriving per-layer PRNG keys from
+    names. Python's built-in hash() is randomized per process
+    (PYTHONHASHSEED), which would make quantization non-reproducible
+    across runs; crc32 is stable everywhere."""
+    return zlib.crc32(name.encode("utf-8")) & 0x7FFFFFFF

@@ -129,3 +129,43 @@ def test_on_host_lazy_safetensors_import(tmp_path):
     np.testing.assert_allclose(np.asarray(M.forward(host, tokens, cfg)),
                                np.asarray(M.forward(dev, tokens, cfg)),
                                atol=1e-6)
+
+
+def test_sharded_bin_lazy_import(tmp_path):
+    """LazyBinStateDict: sharded pytorch .bin checkpoints stream one shard
+    at a time via the HF index; parity with the eager import."""
+    import json
+
+    from quip_tpu.models.hf_import import LazyBinStateDict, load_hf_params
+
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        ffn_dim=64, num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, do_layer_norm_before=True)
+    with torch.no_grad():
+        hf = transformers.OPTForCausalLM(hf_cfg).eval()
+    sd = hf.state_dict()
+    keys = sorted(sd.keys())
+    half = len(keys) // 2
+    shards = {"pytorch_model-00001-of-00002.bin": keys[:half],
+              "pytorch_model-00002-of-00002.bin": keys[half:]}
+    weight_map = {}
+    for fname, ks in shards.items():
+        torch.save({k: sd[k] for k in ks}, str(tmp_path / fname))
+        weight_map.update({k: fname for k in ks})
+    with open(tmp_path / "pytorch_model.bin.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+
+    lazy = LazyBinStateDict(str(tmp_path))
+    assert set(lazy.keys()) == set(keys)
+
+    cfg = ModelConfig(family="opt", vocab_size=128, d_model=32, n_layers=2,
+                      n_heads=4, d_ff=64, max_seq=64)
+    host, _ = load_hf_params(str(tmp_path), cfg, dtype="float32",
+                             on_host=True)
+    assert all(isinstance(x, np.ndarray) for x in jax.tree.leaves(host))
+    want = state_dict_to_params(_np_sd(hf), cfg, dtype="float32")
+    tokens = np.array([[3, 1, 4, 1, 5]], np.int32)
+    np.testing.assert_allclose(np.asarray(M.forward(host, tokens, cfg)),
+                               np.asarray(M.forward(want, tokens, cfg)),
+                               atol=1e-6)

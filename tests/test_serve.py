@@ -341,3 +341,35 @@ def test_engine_kv_quant_all_families(name):
     eng = Engine(params, cfg, max_batch=2, max_seq=64, kv_quant=True)
     [req] = eng.run([dict(prompt=[2, 5, 8], max_new_tokens=5)])
     assert len(req.generated) >= 5
+
+
+def test_packed_head_shards_replicated():
+    """A --quant_head packed tree (unstacked lm_head PackedLinear) must
+    shard: the head's children are replicated (its output rotation mixes
+    the whole m axis) while block planes still split over tp."""
+    from quip_tpu.pack.format import PackedLinear
+    from quip_tpu.pack.model import pack_quantized_model
+    from quip_tpu.parallel.mesh import make_mesh, shard_params
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("llama-tiny")
+    params = M.init_params(jax.random.key(31), cfg)
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qparams, art = quantize_model(params, cfg, calib,
+                                  QuantConfig.incoherence(2, "ldlq"),
+                                  jax.random.key(32), chunk=4,
+                                  quant_head=True)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+    assert isinstance(packed["lm_head"], PackedLinear)
+    mesh = make_mesh(dp=1, tp=2)
+    sharded = shard_params(packed, cfg, mesh)   # crashed before the fix
+    assert sharded["lm_head"].planes[0].sharding.is_fully_replicated
+    assert not sharded["blocks"]["attn"]["wq"] \
+        .planes[0].sharding.is_fully_replicated
+    tokens = jnp.ones((1, 8), jnp.int32)
+    logits = jax.jit(lambda p, t: M.forward(p, t, cfg))(sharded, tokens)
+    want = M.forward(packed, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               atol=1e-4)
