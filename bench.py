@@ -27,22 +27,52 @@ import jax.numpy as jnp
 
 
 def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
-                 chunk=1, kv_quant=False):
-    """Decode throughput. chunk>1 scans multiple tokens per dispatch
-    (M.decode_scan); measured NEUTRAL-to-slower on this relay backend —
-    scan carries copy the KV cache per iteration here (docs/PERF.md) — so
-    the default is per-token dispatch."""
+                 chunk=1, kv_quant=False, paged=True, hot=64, page=64):
+    """Decode throughput, paged two-level KV cache by default
+    (models/paged.py — the serving path: per-step cost scales with used
+    context, not capacity; +3% here at 160 ctx, +15% at 2048, +56% on a
+    capacity-provisioned cache — docs/PERF.md). paged=False falls back to
+    the arena path; chunk>1 additionally scans multiple tokens per dispatch
+    (M.decode_scan), measured NEUTRAL-to-slower on this relay backend."""
     from quip_tpu.models import model as M
-
-    caches = M.init_caches(batch, max_seq, cfg, dtype=jnp.bfloat16,
-                           quantized=kv_quant)
-
-    @jax.jit
-    def run_chunk(params, tok, caches):
-        toks, caches = M.decode_scan(params, tok, caches, cfg, chunk)
-        return toks[:, -1:], caches
+    from quip_tpu.models import paged as PG
 
     tok = jnp.zeros((batch, 1), jnp.int32)
+    if paged:
+        assert chunk == 1, "paged bench is per-token dispatch"
+        caches = PG.init_paged(batch, max_seq, cfg, dtype=jnp.bfloat16,
+                               quantized=kv_quant, hot=hot, page=page)
+
+        @jax.jit
+        def pstep(params, tok, caches):
+            logits, hot_s = PG.paged_decode_step(params, tok, caches, cfg,
+                                                 page=page)
+            return jnp.argmax(logits, -1)[:, None].astype(jnp.int32), hot_s
+
+        pflush = jax.jit(PG.flush_hot)
+        n = 0
+
+        def run_chunk(params, tok, caches):
+            nonlocal n
+            tok, hot_s = pstep(params, tok, caches)
+            caches = PG.advance(caches, hot_s)
+            n += 1
+            if n >= hot:
+                caches = pflush(caches)
+                n = 0
+            return tok, caches
+
+        # compile the flush outside the timed chain
+        pflush(caches)
+    else:
+        caches = M.init_caches(batch, max_seq, cfg, dtype=jnp.bfloat16,
+                               quantized=kv_quant)
+
+        @jax.jit
+        def run_chunk(params, tok, caches):
+            toks, caches = M.decode_scan(params, tok, caches, cfg, chunk)
+            return toks[:, -1:], caches
+
     for _ in range(max(warmup // chunk, 1)):
         tok, caches = run_chunk(params, tok, caches)
     int(tok[0, 0])          # hard sync (see module docstring)

@@ -36,6 +36,17 @@ def main(argv=None):
     p.add_argument("--max_seq", type=int, default=256)
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantized KV cache")
+    p.add_argument("--paged", action="store_true",
+                   help="paged two-level KV cache (models/paged.py): decode "
+                        "cost scales with used context, not --max_seq")
+    p.add_argument("--hot", type=int, default=128,
+                   help="paged mode: hot-ring size (flush period)")
+    p.add_argument("--page", type=int, default=256,
+                   help="paged mode: frozen-arena read-page size")
+    p.add_argument("--prefix", type=int, default=0,
+                   help="pre-position the cache at this length before "
+                        "timing (steady-state decode at a given context; "
+                        "content is zeros — cost-identical)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh ways (batch must divide)")
     p.add_argument("--tp", type=int, default=1,
@@ -46,9 +57,12 @@ def main(argv=None):
                         "(llama.py:447, 464-467)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    if 4 + args.tokens > args.max_seq - 1:
-        p.error(f"--tokens {args.tokens} (+4 warmup) exceeds the KV cache "
-                f"(--max_seq {args.max_seq}); raise --max_seq")
+    if args.prefix + 4 + args.tokens > args.max_seq - 1:
+        p.error(f"--prefix {args.prefix} + --tokens {args.tokens} (+4 "
+                f"warmup) exceeds the KV cache (--max_seq {args.max_seq}); "
+                f"raise --max_seq")
+    if args.paged and (args.dp * args.tp > 1):
+        p.error("--paged does not support --dp/--tp meshes yet")
 
     params, cfg = common.load_model(args)
     if args.load:
@@ -66,8 +80,20 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         params = shard_params(params, cfg, mesh)
 
-    caches = M.init_caches(args.batch, args.max_seq, cfg,
-                           dtype=jnp.bfloat16, quantized=args.kv_quant)
+    if args.paged:
+        from quip_tpu.models import paged as PG
+        caches = PG.init_paged(args.batch, args.max_seq, cfg,
+                               dtype=jnp.bfloat16, quantized=args.kv_quant,
+                               hot=args.hot, page=args.page)
+        if args.prefix:
+            caches = caches._replace(
+                base=jnp.full((args.batch,), args.prefix, jnp.int32))
+    else:
+        caches = M.init_caches(args.batch, args.max_seq, cfg,
+                               dtype=jnp.bfloat16, quantized=args.kv_quant)
+        if args.prefix:
+            caches = caches._replace(
+                length=jnp.full((cfg.n_layers,), args.prefix, jnp.int32))
     if mesh is not None:
         # batch over 'dp', KV heads over 'tp' — without these the decode
         # runs replicated and dp/tp scaling numbers are meaningless
@@ -84,12 +110,33 @@ def main(argv=None):
             for x in caches[3:]
         ])
 
-    @jax.jit
-    def step(params, tok, caches):
-        logits, caches = M.decode_step(params, tok, caches, cfg)
-        nll = -jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
-        return nxt, jnp.take_along_axis(nll, nxt, 1)[:, 0], caches
+    if args.paged:
+        @jax.jit
+        def pstep(params, tok, caches):
+            logits, hot = PG.paged_decode_step(params, tok, caches, cfg,
+                                               page=args.page)
+            nll = -jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+            return nxt, jnp.take_along_axis(nll, nxt, 1)[:, 0], hot
+
+        pflush = jax.jit(PG.flush_hot)
+        hot_ctr = {"n": 0}
+
+        def step(params, tok, caches):
+            nxt, nll, hot = pstep(params, tok, caches)
+            caches = PG.advance(caches, hot)
+            hot_ctr["n"] += 1
+            if hot_ctr["n"] >= args.hot:     # deterministic flush schedule
+                caches = pflush(caches)
+                hot_ctr["n"] = 0
+            return nxt, nll, caches
+    else:
+        @jax.jit
+        def step(params, tok, caches):
+            logits, caches = M.decode_step(params, tok, caches, cfg)
+            nll = -jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+            return nxt, jnp.take_along_axis(nll, nxt, 1)[:, 0], caches
 
     tok = jnp.zeros((args.batch, 1), jnp.int32)
     if mesh is not None:
@@ -99,6 +146,8 @@ def main(argv=None):
     # warmup + compile
     for _ in range(4):
         tok, nll, caches = step(params, tok, caches)
+    if args.paged:
+        pflush(caches)       # compile the flush OUTSIDE the timed chain
     int(tok[0, 0])
 
     # throughput: chain all steps, sync once
@@ -131,6 +180,8 @@ def main(argv=None):
         "batch": args.batch,
         "mesh": {"dp": args.dp, "tp": args.tp},
         "kv_quant": bool(args.kv_quant),
+        "paged": bool(args.paged),
+        "prefix": args.prefix,
     }
     if args.check:
         out["continuation_nll"] = float(np.mean(

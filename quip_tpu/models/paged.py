@@ -1,0 +1,463 @@
+"""Paged two-level KV cache: decode cost scales with USED context.
+
+The standard decode path (models/model.py ``KVCache``) threads the whole
+cache arena through every jitted step. On runtimes without working buffer
+donation (this relay — docs/PERF.md "buffer donation is a no-op") that
+costs a full read+write of the *allocated* capacity per token, so a serving
+engine with a large ``max_seq`` pays for capacity it is not using yet.
+
+This module splits the cache in two:
+
+  * a **frozen** arena ``(n_layers, B, capacity, kv_heads, hd)`` that is an
+    input of the decode step but NEVER an output — no jit-boundary copy.
+    Attention over it runs as an online-softmax accumulation over fixed-size
+    pages inside a ``lax.fori_loop`` whose trip count is the *traced* number
+    of used pages (``ceil(max(base)/page)``), so HBM reads scale with used
+    context, not capacity.
+  * a small **hot** ring ``(n_layers, B, hot, kv_heads, hd)`` holding the
+    most recent tokens; it is the only cache state the step returns, so the
+    per-step copy is O(hot), independent of capacity.
+
+Every ``hot`` steps the driver calls :func:`flush_hot`, which appends each
+slot's hot run into the frozen arena at its own ``base`` (one stacked
+``dynamic_update_slice`` per array — a full-arena copy amortized over
+``hot`` tokens).
+
+``base`` and ``hot_len`` are per-slot ``(B,)`` vectors so the
+continuous-batching engine (serve/engine.py) can admit/retire requests per
+slot. int8 KV quantization (model.quantize_kv) composes: codes + per-(slot,
+position, head) scales live in both levels and the scales fold around the
+attention dots exactly like the arena path (model.KVCache docstring).
+
+No reference counterpart: the reference's only serving artifact is a
+commented-out single-token benchmark loop (/root/reference/llama.py:418-471);
+its CUDA path was single-token-only (/root/reference/quant.py:222-233).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quip_tpu.models import model as M
+from quip_tpu.models.config import ModelConfig
+from quip_tpu.ops.qlinear import linear_apply
+
+_NEG = jnp.float32(-1e30)   # finite mask floor: exp(_NEG - _NEG) stays 1.0
+                            # (harmless at zero weight), no -inf NaN traps
+
+
+class PagedKV(NamedTuple):
+    """Two-level paged KV cache (see module docstring).
+
+    Frozen level: k/v (n_layers, B, capacity, kv_heads, hd), valid rows
+    ``< base[b]`` per slot. Hot level: hot_k/hot_v (n_layers, B, hot, ...),
+    valid rows ``< hot_len[b]`` holding absolute positions
+    ``base[b] + j``. ks/vs (and hot_ks/hot_vs) are int8-mode scales.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    hot_k: jax.Array
+    hot_v: jax.Array
+    base: jax.Array          # (B,) int32
+    hot_len: jax.Array       # (B,) int32
+    ks: Optional[jax.Array] = None        # (n_layers, B, capacity, kv_heads)
+    vs: Optional[jax.Array] = None
+    hot_ks: Optional[jax.Array] = None    # (n_layers, B, hot, kv_heads)
+    hot_vs: Optional[jax.Array] = None
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def hot_size(self) -> int:
+        return self.hot_k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
+
+
+class Hot(NamedTuple):
+    """The decode step's only cache output: the updated hot ring."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array        # (B,) int32: hot_len after the step
+    ks: Optional[jax.Array] = None
+    vs: Optional[jax.Array] = None
+
+
+def advance(caches: PagedKV, hot: Hot) -> PagedKV:
+    """Fold a step's Hot output back into the cache container (host-side)."""
+    return caches._replace(hot_k=hot.k, hot_v=hot.v, hot_len=hot.length,
+                           hot_ks=hot.ks, hot_vs=hot.vs)
+
+
+def init_paged(batch: int, capacity: int, cfg: ModelConfig,
+               dtype=jnp.bfloat16, quantized: bool = False,
+               hot: int = 128, page: Optional[int] = None) -> PagedKV:
+    """Zero-initialized paged cache. ``capacity`` is the frozen arena size;
+    generation must keep ``base + hot <= capacity`` (drivers stop slots at
+    ``capacity - hot`` so a flush always fits). Passing ``page`` rounds
+    capacity up to a page multiple — required by the decode step (page
+    reads must tile the arena exactly or the tail page would misalign)."""
+    if page:
+        capacity = -(-capacity // page) * page
+    if hot < 1 or hot > capacity:
+        raise ValueError(f"hot={hot} must be in [1, capacity={capacity}]")
+    L, KV, hd = cfg.n_layers, cfg.kv_heads, cfg.hd
+    dt = jnp.int8 if quantized else dtype
+    fshape = (L, batch, capacity, KV, hd)
+    hshape = (L, batch, hot, KV, hd)
+    kw = {}
+    if quantized:
+        kw = dict(ks=jnp.zeros(fshape[:-1], jnp.float32),
+                  vs=jnp.zeros(fshape[:-1], jnp.float32),
+                  hot_ks=jnp.zeros(hshape[:-1], jnp.float32),
+                  hot_vs=jnp.zeros(hshape[:-1], jnp.float32))
+    return PagedKV(jnp.zeros(fshape, dt), jnp.zeros(fshape, dt),
+                   jnp.zeros(hshape, dt), jnp.zeros(hshape, dt),
+                   jnp.zeros((batch,), jnp.int32),
+                   jnp.zeros((batch,), jnp.int32), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Online-softmax attention over (pages of frozen) + hot
+# ---------------------------------------------------------------------------
+
+
+def _accum(state, q2, keys, vals, kpos, valid, pos, slopes,
+           ksc, vsc, scale):
+    """One online-softmax block update.
+
+    q2 (B, KV, rep, hd); keys/vals (B, T, KV, hd); kpos (B, T) absolute key
+    positions; valid (B, T). ksc/vsc (B, T, KV) int8-mode scales or None.
+    state = (m, lsum, acc) running max / normalizer / weighted V sum (f32).
+    """
+    m, lsum, acc = state
+    lg = jnp.einsum("bkrd,btkd->bkrt", q2,
+                    keys.astype(q2.dtype)).astype(jnp.float32) * scale
+    if ksc is not None:
+        lg = lg * jnp.transpose(ksc, (0, 2, 1))[:, :, None, :]
+    if slopes is not None:      # ALiBi: bias = -slope * (query_pos - key_pos)
+        dist = (pos[:, None, None, None].astype(jnp.float32)
+                - kpos[:, None, None, :].astype(jnp.float32))
+        lg = lg - slopes[None, :, :, None] * dist
+    vmask = valid[:, None, None, :]
+    lg = jnp.where(vmask, lg, _NEG)
+    m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
+    pe = jnp.exp(lg - m_new[..., None])
+    pe = jnp.where(vmask, pe, 0.0)
+    alpha = jnp.exp(m - m_new)
+    lsum = lsum * alpha + jnp.sum(pe, axis=-1)
+    if vsc is not None:
+        # V scales fold into the weighted sum only — NOT the softmax
+        # normalizer (arena path: softmax first, then probs·vs)
+        pe = pe * jnp.transpose(vsc, (0, 2, 1))[:, :, None, :]
+    acc = acc * alpha[..., None] + jnp.einsum(
+        "bkrt,btkd->bkrd", pe, vals.astype(jnp.float32))
+    return m_new, lsum, acc
+
+
+def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
+                     caches: PagedKV, hot_l, pos, rope_cs, page: int):
+    """Single-token attention against (frozen pages + hot ring).
+
+    h (B, 1, D); layer: traced layer index for frozen-page slicing; hot_l =
+    (hot_k, hot_v, hot_ks, hot_vs) this layer's hot slabs (from the layer
+    scan); pos (B,) absolute position of the incoming token. Returns
+    (out (B, 1, D), new hot_l).
+    """
+    B, S, D = h.shape
+    assert S == 1, "paged attention is a decode (single-token) path"
+    H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    rep = H // KV
+    hot_k_l, hot_v_l, hks_l, hvs_l = hot_l
+    P = hot_k_l.shape[1]
+
+    if "wqkv" in p:
+        qkv = linear_apply(p["wqkv"], h) + p.get("bqkv", 0.0)
+        nq, nkv = H * hd, KV * hd
+        q = qkv[..., :nq]
+        k = qkv[..., nq:nq + nkv]
+        v = qkv[..., nq + nkv:]
+    else:
+        q = linear_apply(p["wq"], h) + p.get("bq", 0.0)
+        k = linear_apply(p["wk"], h) + p.get("bk", 0.0)
+        v = linear_apply(p["wv"], h) + p.get("bv", 0.0)
+    q = q.reshape(B, S, H, hd)
+    k = k.reshape(B, S, KV, hd)
+    v = v.reshape(B, S, KV, hd)
+    if cfg.positions == "rope":
+        cos, sin = rope_cs
+        q = M.apply_rope(q, cos, sin)
+        k = M.apply_rope(k, cos, sin)
+
+    # write the new K/V into each slot's hot ring at its own hot_len
+    hlen = pos - caches.base                     # (B,) == hot_len
+    zero = jnp.zeros((), jnp.int32)
+
+    def upd(arr_b, new_b, at):
+        return lax.dynamic_update_slice(
+            arr_b, new_b.astype(arr_b.dtype), (at, zero, zero))
+
+    def upd_s(arr_b, new_b, at):
+        return lax.dynamic_update_slice(arr_b, new_b, (at, zero))
+
+    ks_new = vs_new = None
+    if hks_l is not None:
+        k8, ksc = M.quantize_kv(k)
+        v8, vsc = M.quantize_kv(v)
+        hot_k_l = jax.vmap(upd)(hot_k_l, k8, hlen)
+        hot_v_l = jax.vmap(upd)(hot_v_l, v8, hlen)
+        ks_new = jax.vmap(upd_s)(hks_l, ksc, hlen)
+        vs_new = jax.vmap(upd_s)(hvs_l, vsc, hlen)
+    else:
+        hot_k_l = jax.vmap(upd)(hot_k_l, k, hlen)
+        hot_v_l = jax.vmap(upd)(hot_v_l, v, hlen)
+
+    q2 = q[:, 0].reshape(B, KV, rep, hd)
+    slopes = (M.alibi_slopes(H).reshape(KV, rep)
+              if cfg.positions == "alibi" else None)
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    state = (jnp.full((B, KV, rep), _NEG, jnp.float32),
+             jnp.zeros((B, KV, rep), jnp.float32),
+             jnp.zeros((B, KV, rep, hd), jnp.float32))
+
+    n_pages = (jnp.max(caches.base).astype(jnp.int32)
+               + (page - 1)) // page
+
+    def page_body(pidx, state):
+        start = pidx * page
+        pk = lax.dynamic_slice(
+            caches.k, (layer, zero, start, zero, zero),
+            (1, B, page, KV, hd))[0]
+        pv = lax.dynamic_slice(
+            caches.v, (layer, zero, start, zero, zero),
+            (1, B, page, KV, hd))[0]
+        psc = pvs = None
+        if caches.ks is not None:
+            psc = lax.dynamic_slice(
+                caches.ks, (layer, zero, start, zero), (1, B, page, KV))[0]
+            pvs = lax.dynamic_slice(
+                caches.vs, (layer, zero, start, zero), (1, B, page, KV))[0]
+        kpos = start + jnp.arange(page, dtype=jnp.int32)
+        kpos = jnp.broadcast_to(kpos[None, :], (B, page))
+        valid = kpos < caches.base[:, None]
+        return _accum(state, q2, pk, pv, kpos, valid, pos, slopes,
+                      psc, pvs, scale)
+
+    state = lax.fori_loop(0, n_pages, page_body, state)
+
+    # hot block: positions base..base+hot_len (inclusive of the new token)
+    kpos = caches.base[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(P, dtype=jnp.int32)[None, :] <= hlen[:, None]
+    state = _accum(state, q2, hot_k_l, hot_v_l, kpos, valid, pos, slopes,
+                   ks_new, vs_new, scale)
+
+    m, lsum, acc = state
+    out = acc / jnp.maximum(lsum, 1e-30)[..., None]
+    out = out.reshape(B, 1, H * hd).astype(h.dtype)
+    out = linear_apply(p["wo"], out) + p.get("bo", 0.0)
+    return out, (hot_k_l, hot_v_l, ks_new, vs_new)
+
+
+# ---------------------------------------------------------------------------
+# Decode step / flush / prefill
+# ---------------------------------------------------------------------------
+
+
+def paged_decode_step(params, tokens: jax.Array, caches: PagedKV,
+                      cfg: ModelConfig, *, page: int = 256
+                      ) -> Tuple[jax.Array, Hot]:
+    """One decode token per slot against the paged cache.
+
+    tokens (B, 1). Returns (logits (B, V), Hot) — the frozen arena is read
+    (by pages, up to the used length) but never returned, so jitting this
+    function costs O(hot) output copy per step regardless of capacity.
+    Callers fold Hot back with :func:`advance` and must :func:`flush_hot`
+    before ``hot_len`` reaches the hot size.
+    """
+    if caches.capacity % page:
+        raise ValueError(
+            f"capacity {caches.capacity} must be a multiple of page {page} "
+            f"(init_paged(..., page=...) rounds it up)")
+    B = tokens.shape[0]
+    pos = caches.base + caches.hot_len            # (B,)
+    positions = pos[:, None]
+    x = M.embed(params, tokens, cfg, positions)
+    rope_cs = (M.rope_tables(cfg, positions)
+               if cfg.positions == "rope" else None)
+    quantized = caches.quantized
+
+    if quantized:
+        xs = (params["blocks"], caches.hot_k, caches.hot_v,
+              caches.hot_ks, caches.hot_vs)
+    else:
+        xs = (params["blocks"], caches.hot_k, caches.hot_v)
+
+    def body(carry, layer_xs):
+        x, l = carry
+        if quantized:
+            bp, hk, hv, hks, hvs = layer_xs
+        else:
+            bp, hk, hv = layer_xs
+            hks = hvs = None
+        h = M.norm(bp["ln1"], x, cfg) if cfg.do_layer_norm_before else x
+        a, hot_l = _paged_attention(bp["attn"], h, cfg, l, caches,
+                                    (hk, hv, hks, hvs), pos, rope_cs, page)
+        x = x + a
+        if not cfg.do_layer_norm_before:
+            x = M.norm(bp["ln1"], x, cfg)
+        res = x
+        h = M.norm(bp["ln2"], x, cfg) if cfg.do_layer_norm_before else x
+        m = M.mlp(bp["mlp"], h, cfg)
+        x = res + m
+        if not cfg.do_layer_norm_before:
+            x = M.norm(bp["ln2"], x, cfg)
+        return (x, l + 1), hot_l
+
+    (x, _), hot_ys = lax.scan(body, (x, jnp.zeros((), jnp.int32)), xs)
+    logits = M.unembed(params, x, cfg)[:, -1, :]
+    hk, hv, hks, hvs = hot_ys
+    return logits, Hot(hk, hv, caches.hot_len + 1, hks, hvs)
+
+
+def paged_decode_scan(params, tokens: jax.Array, caches: PagedKV,
+                      cfg: ModelConfig, n_steps: int, *, page: int = 256
+                      ) -> Tuple[jax.Array, Hot]:
+    """Greedy-decode ``n_steps`` tokens in ONE compiled program.
+
+    Unlike the arena ``decode_scan`` (whose scan carries copy the whole
+    cache per iteration on no-donation runtimes — docs/PERF.md), the carry
+    here is only the hot ring, so chunking is cheap: it amortizes the
+    per-dispatch overhead without capacity-sized copies. Requires
+    ``max(hot_len) + n_steps <= hot size`` (no flush inside the chunk).
+
+    Returns (tokens (B, n_steps) int32, final Hot).
+    """
+
+    def body(carry, _):
+        tok, hot = carry
+        logits, hot = paged_decode_step(params, tok, advance(caches, hot),
+                                        cfg, page=page)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        return (nxt, hot), nxt[:, 0]
+
+    hot0 = Hot(caches.hot_k, caches.hot_v, caches.hot_len,
+               caches.hot_ks, caches.hot_vs)
+    (_, hot), toks = lax.scan(body, (tokens, hot0), None, length=n_steps)
+    return toks.T, hot
+
+
+def flush_hot(caches: PagedKV) -> PagedKV:
+    """Append each slot's hot run into the frozen arena at its base.
+
+    One stacked dynamic_update_slice per array (a full-arena copy, amortized
+    over ``hot`` decode steps). Rows past ``hot_len`` are garbage but land in
+    ``>= new base`` territory, which masks + later flushes overwrite. Slots
+    must satisfy ``base + hot <= capacity`` (drivers retire slots earlier);
+    otherwise XLA clamps the start index and valid rows would be corrupted.
+    """
+    zero = jnp.zeros((), jnp.int32)
+
+    def upd(arr_b, hot_b, at):
+        # arr_b (L, cap, KV, hd) one slot across layers; hot_b (L, P, KV, hd)
+        start = (zero, at) + (zero,) * (arr_b.ndim - 2)
+        return lax.dynamic_update_slice(arr_b, hot_b.astype(arr_b.dtype),
+                                        start)
+
+    vupd = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+    k = vupd(caches.k, caches.hot_k, caches.base)
+    v = vupd(caches.v, caches.hot_v, caches.base)
+    kw = {}
+    if caches.quantized:
+        kw = dict(ks=vupd(caches.ks, caches.hot_ks, caches.base),
+                  vs=vupd(caches.vs, caches.hot_vs, caches.base))
+    return caches._replace(k=k, v=v, base=caches.base + caches.hot_len,
+                           hot_len=jnp.zeros_like(caches.hot_len), **kw)
+
+
+def _prompt_kv(params, tokens: jax.Array, plen: jax.Array, cfg: ModelConfig):
+    """Run the prompt through the model, returning per-layer post-RoPE K/V.
+
+    tokens (B, S) padded; plen (B,) real lengths. Returns (last-position
+    logits (B, V), ks, vs stacked (n_layers, B, S, KV, hd))."""
+    B, S = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    key_pos = jnp.arange(S)[None, None, :]
+    mask = ((key_pos <= positions[:, :, None])
+            & (key_pos < plen[:, None, None]))
+    x = M.embed(params, tokens, cfg, positions)
+    rope_cs = (M.rope_tables(cfg, positions)
+               if cfg.positions == "rope" else None)
+
+    def body(x, bp):
+        cache = M.KVCache(
+            jnp.zeros((B, S, cfg.kv_heads, cfg.hd), x.dtype),
+            jnp.zeros((B, S, cfg.kv_heads, cfg.hd), x.dtype),
+            jnp.zeros((), jnp.int32))
+        y, cache, _ = M.block_apply(bp, x, cfg, positions, mask, cache,
+                                    rope_cs=rope_cs)
+        return y, (cache.k, cache.v)
+
+    x, (ks, vs) = lax.scan(body, x, params["blocks"])
+    logits = M.unembed(params, x, cfg)
+    last = jnp.take_along_axis(
+        logits, (plen - 1)[:, None, None].astype(jnp.int32), axis=1)
+    return last[:, 0, :], ks, vs
+
+
+def _store_kv(caches: PagedKV, ks, vs, starts):
+    """Write stacked prompt K/V (n_layers, B', S, KV, hd) into the frozen
+    arena at position 0, slot offset ``starts`` (scalar slot index)."""
+    zero = jnp.zeros((), jnp.int32)
+    kw = {}
+    if caches.quantized:
+        k8, ksc = M.quantize_kv(ks)
+        v8, vsc = M.quantize_kv(vs)
+        kw = dict(
+            ks=lax.dynamic_update_slice(
+                caches.ks, ksc, (zero, starts, zero, zero)),
+            vs=lax.dynamic_update_slice(
+                caches.vs, vsc, (zero, starts, zero, zero)),
+        )
+        ks, vs = k8, v8
+    k = lax.dynamic_update_slice(
+        caches.k, ks.astype(caches.k.dtype), (zero, starts, zero, zero, zero))
+    v = lax.dynamic_update_slice(
+        caches.v, vs.astype(caches.v.dtype), (zero, starts, zero, zero, zero))
+    return caches._replace(k=k, v=v, **kw)
+
+
+def paged_prefill(params, tokens: jax.Array, plen: jax.Array,
+                  caches: PagedKV, cfg: ModelConfig
+                  ) -> Tuple[jax.Array, PagedKV]:
+    """Prefill ALL slots with (padded) prompts. tokens (B, S); plen (B,).
+
+    Returns (last real-position logits (B, V), caches with base=plen,
+    hot_len=0). One-time full-arena output — per-request cost, not
+    per-token. Padded-position K/V rows land at >= base and are masked.
+    """
+    logits, ks, vs = _prompt_kv(params, tokens, plen, cfg)
+    caches = _store_kv(caches, ks, vs, jnp.zeros((), jnp.int32))
+    return logits, caches._replace(
+        base=plen.astype(jnp.int32),
+        hot_len=jnp.zeros_like(caches.hot_len))
+
+
+def paged_prefill_slot(params, tokens: jax.Array, plen: jax.Array,
+                       caches: PagedKV, slot: jax.Array, cfg: ModelConfig
+                       ) -> Tuple[jax.Array, PagedKV]:
+    """Prefill ONE slot (continuous-batching admission). tokens (1, S)."""
+    logits, ks, vs = _prompt_kv(params, tokens, plen[None], cfg)
+    caches = _store_kv(caches, ks, vs, slot.astype(jnp.int32))
+    return logits[0], caches._replace(
+        base=caches.base.at[slot].set(plen.astype(jnp.int32)),
+        hot_len=caches.hot_len.at[slot].set(0))

@@ -212,17 +212,32 @@ class Engine:
     def __init__(self, params: Dict[str, Any], cfg: ModelConfig, *,
                  max_batch: int = 8, max_seq: int = 512,
                  cache_dtype=jnp.float32, kv_quant: bool = False,
+                 paged: bool = False, hot: int = 128, page: int = 256,
                  seed: int = 0):
+        """paged=True uses the two-level paged KV cache (models/paged.py):
+        per-step cost scales with used context instead of max_seq — the
+        right mode when max_seq is provisioned larger than typical requests
+        (+56% decode at 7B with a 2048-capacity cache and short requests —
+        docs/PERF.md). hot/page tune the hot-ring size (flush period) and
+        the frozen-arena read-page size."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_seq = max_seq
-        self.kv = BatchedKV(cfg, max_batch, max_seq, cache_dtype,
-                            quantize=kv_quant)
         self.key = jax.random.PRNGKey(seed)
         self._slots: List[Optional[Request]] = [None] * max_batch
         self._queue: List[Request] = []
         self._uid = 0
+        self.paged = paged
+        if paged:
+            self._init_paged(cache_dtype, kv_quant, hot, page)
+        else:
+            self._init_arena(cache_dtype, kv_quant)
+
+    def _init_arena(self, cache_dtype, kv_quant):
+        cfg = self.cfg
+        self.kv = BatchedKV(cfg, self.max_batch, self.max_seq, cache_dtype,
+                            quantize=kv_quant)
 
         self._decode = jax.jit(
             lambda params, tokens, lengths, arena:
@@ -299,6 +314,68 @@ class Engine:
 
         self._prefill = jax.jit(prefill)
 
+    def _init_paged(self, cache_dtype, kv_quant, hot, page):
+        from quip_tpu.models import paged as PG
+        cfg, max_batch, max_seq = self.cfg, self.max_batch, self.max_seq
+        self._PG = PG
+        self.hot = min(hot, max_seq)
+        self.page = page
+        # capacity = max_seq + hot so a flush always fits (base <= max_seq);
+        # rounded up to a page multiple by init_paged
+        self.pkv = PG.init_paged(max_batch, max_seq + self.hot, cfg,
+                                 dtype=cache_dtype, quantized=kv_quant,
+                                 hot=self.hot, page=page)
+        # host-authoritative per-slot cursors (pushed to device each call)
+        self._base = np.zeros(max_batch, np.int32)
+        self._hotlen = np.zeros(max_batch, np.int32)
+
+        self._decode_paged = jax.jit(
+            lambda params, tokens, caches:
+            PG.paged_decode_step(params, tokens, caches, cfg, page=page))
+        self._flush = jax.jit(PG.flush_hot)
+        self._prefill_paged = jax.jit(
+            lambda params, tokens, plen, caches, slot:
+            PG.paged_prefill_slot(params, tokens, plen, caches, slot, cfg))
+
+        # chunked decode with in-graph sampling: the scan carries only the
+        # hot ring (O(hot) per iteration), unlike the arena decode_chunk
+        # whose carries copy the whole cache on no-donation runtimes
+        def decode_chunk_paged(params, tokens, caches, key, temps,
+                               n_steps, top_k):
+            def body(carry, _):
+                tok, hot_s, key = carry
+                logits, hot_s = PG.paged_decode_step(
+                    params, tok, PG.advance(caches, hot_s), cfg, page=page)
+                key, sk = jax.random.split(key)
+                t = _sample(sk, logits, temps, top_k).astype(jnp.int32)
+                return (t[:, None], hot_s, key), t
+
+            hot0 = PG.Hot(caches.hot_k, caches.hot_v, caches.hot_len,
+                          caches.hot_ks, caches.hot_vs)
+            (_, hot_s, _), toks = lax.scan(body, (tokens, hot0, key), None,
+                                           length=n_steps)
+            return toks.T, hot_s
+
+        self._decode_chunk_paged = jax.jit(
+            decode_chunk_paged, static_argnames=("n_steps", "top_k"))
+
+    def _sync_pkv(self):
+        """Paged cache with the host-authoritative cursors pushed in."""
+        return self.pkv._replace(base=jnp.asarray(self._base),
+                                 hot_len=jnp.asarray(self._hotlen))
+
+    def _maybe_flush(self):
+        if int(self._hotlen.max()) >= self.hot:
+            self.pkv = self._flush(self._sync_pkv())
+            self._base += self._hotlen
+            self._hotlen[:] = 0
+
+    def _lengths(self) -> np.ndarray:
+        """Per-slot sequence lengths (host view)."""
+        if self.paged:
+            return self._base + self._hotlen
+        return np.array(self.kv.lengths)
+
     def _arena(self):
         return (self.kv.k, self.kv.v, self.kv.ks, self.kv.vs)
 
@@ -329,12 +406,21 @@ class Engine:
                 bucket = min(bucket, self.max_seq)
                 padded = np.zeros((1, bucket), np.int32)
                 padded[0, :plen] = req.prompt
-                logits, arena = self._prefill(
-                    self.params, jnp.asarray(padded),
-                    jnp.asarray(plen, jnp.int32), self._arena(),
-                    jnp.asarray(i, jnp.int32))
-                self._set_arena(arena)
-                self.kv.lengths = self.kv.lengths.at[i].set(plen)
+                if self.paged:
+                    logits, self.pkv = self._prefill_paged(
+                        self.params, jnp.asarray(padded),
+                        jnp.asarray(plen, jnp.int32), self._sync_pkv(),
+                        jnp.asarray(i, jnp.int32))
+                    logits = logits[None]
+                    self._base[i] = plen
+                    self._hotlen[i] = 0
+                else:
+                    logits, arena = self._prefill(
+                        self.params, jnp.asarray(padded),
+                        jnp.asarray(plen, jnp.int32), self._arena(),
+                        jnp.asarray(i, jnp.int32))
+                    self._set_arena(arena)
+                    self.kv.lengths = self.kv.lengths.at[i].set(plen)
                 # first generated token comes from the prefill logits
                 self.key, sk = jax.random.split(self.key)
                 tok = int(_sample(sk, logits,
@@ -352,9 +438,16 @@ class Engine:
         last = np.zeros((self.max_batch, 1), np.int32)
         for i in active:
             last[i, 0] = self._slots[i].generated[-1]
-        logits, arena = self._decode(
-            self.params, jnp.asarray(last), self.kv.lengths, self._arena())
-        self._set_arena(arena)
+        if self.paged:
+            caches = self._sync_pkv()
+            logits, hot_s = self._decode_paged(self.params,
+                                               jnp.asarray(last), caches)
+            self.pkv = self._PG.advance(caches, hot_s)
+        else:
+            logits, arena = self._decode(
+                self.params, jnp.asarray(last), self.kv.lengths,
+                self._arena())
+            self._set_arena(arena)
         self.key, sk = jax.random.split(self.key)
         temps = np.zeros((self.max_batch,), np.float32)
         for i in active:
@@ -370,17 +463,25 @@ class Engine:
                           top_k=kval)
             for r, t in zip(rows, np.asarray(sub)):
                 toks[r] = t
-        newlen = np.array(self.kv.lengths)   # mutable host copy
+        newlen = self._lengths()             # mutable host copy
         for i in active:
             req = self._slots[i]
             req.generated.append(int(toks[i]))
+            if self.paged:
+                self._hotlen[i] += 1
             newlen[i] += 1
             if (len(req.generated) >= req.max_new_tokens + 1
                     or newlen[i] >= self.max_seq - 1):
                 req.done = True
                 self._slots[i] = None
                 newlen[i] = 0
-        self.kv.lengths = jnp.asarray(newlen)
+                if self.paged:
+                    self._base[i] = 0
+                    self._hotlen[i] = 0
+        if self.paged:
+            self._maybe_flush()
+        else:
+            self.kv.lengths = jnp.asarray(newlen)
 
     def step_chunk(self, max_chunk: int = 16) -> int:
         """Decode up to `max_chunk` tokens for all active slots in ONE
@@ -391,12 +492,21 @@ class Engine:
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
             return 0
-        lens = np.asarray(self.kv.lengths)
+        lens = self._lengths()
         remaining = min(
             min(self._slots[i].max_new_tokens + 1
                 - len(self._slots[i].generated) for i in active),
             min(self.max_seq - 1 - int(lens[i]) for i in active),
         )
+        if self.paged:
+            # the chunk scan cannot flush mid-chunk: cap T by hot-ring room
+            room = self.hot - int(self._hotlen.max())
+            if room < 2:
+                self.pkv = self._flush(self._sync_pkv())
+                self._base += self._hotlen
+                self._hotlen[:] = 0
+                room = self.hot
+            remaining = min(remaining, room)
         ks = {self._slots[i].top_k for i in active}
         if remaining < 2 or max_chunk < 2 or len(ks) > 1:
             self.step()
@@ -412,22 +522,38 @@ class Engine:
             last[i, 0] = self._slots[i].generated[-1]
             temps[i] = self._slots[i].temperature
         self.key, sk = jax.random.split(self.key)
-        toks, arena = self._decode_chunk(
-            self.params, jnp.asarray(last), self.kv.lengths, self._arena(),
-            sk, jnp.asarray(temps), n_steps=T, top_k=top_k)
-        self._set_arena(arena)
+        if self.paged:
+            caches = self._sync_pkv()
+            toks, hot_s = self._decode_chunk_paged(
+                self.params, jnp.asarray(last), caches, sk,
+                jnp.asarray(temps), n_steps=T, top_k=top_k)
+            self.pkv = self._PG.advance(caches, hot_s)
+        else:
+            toks, arena = self._decode_chunk(
+                self.params, jnp.asarray(last), self.kv.lengths,
+                self._arena(), sk, jnp.asarray(temps), n_steps=T,
+                top_k=top_k)
+            self._set_arena(arena)
         toks = np.asarray(toks)                     # (B, T)
-        newlen = np.array(self.kv.lengths)
+        newlen = self._lengths()
         for i in active:
             req = self._slots[i]
             req.generated.extend(int(t) for t in toks[i])
+            if self.paged:
+                self._hotlen[i] += T
             newlen[i] += T
             if (len(req.generated) >= req.max_new_tokens + 1
                     or newlen[i] >= self.max_seq - 1):
                 req.done = True
                 self._slots[i] = None
                 newlen[i] = 0
-        self.kv.lengths = jnp.asarray(newlen)
+                if self.paged:
+                    self._base[i] = 0
+                    self._hotlen[i] = 0
+        if self.paged:
+            self._maybe_flush()
+        else:
+            self.kv.lengths = jnp.asarray(newlen)
         return T
 
     def run(self, requests: List[Dict], progress=False,

@@ -373,3 +373,54 @@ def test_packed_head_shards_replicated():
     want = M.forward(packed, tokens, cfg)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
                                atol=1e-4)
+
+
+def test_engine_paged_matches_arena(tiny_model):
+    """Paged engine (two-level KV) == arena engine, greedy, with more
+    requests than slots, small hot ring (flush boundaries crossed) and a
+    small page size (page loop exercised)."""
+    cfg, params = tiny_model
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+    a = Engine(params, cfg, max_batch=2, max_seq=48)
+    ra = a.run([dict(prompt=p, max_new_tokens=7) for p in prompts])
+    b = Engine(params, cfg, max_batch=2, max_seq=48, paged=True, hot=4,
+               page=8)
+    rb = b.run([dict(prompt=p, max_new_tokens=7) for p in prompts])
+    for x, y in zip(ra, rb):
+        assert x.generated == y.generated
+
+
+def test_engine_paged_chunked(tiny_model):
+    """Paged chunked decode (hot-ring scan carry) == paged per-step."""
+    cfg, params = tiny_model
+    prompts = [[1, 2, 3], [9, 8]]
+    a = Engine(params, cfg, max_batch=2, max_seq=64, paged=True, hot=8,
+               page=8)
+    ra = a.run([dict(prompt=p, max_new_tokens=11) for p in prompts],
+               chunked=True)
+    b = Engine(params, cfg, max_batch=2, max_seq=64, paged=True, hot=8,
+               page=8)
+    rb = b.run([dict(prompt=p, max_new_tokens=11) for p in prompts],
+               chunked=False)
+    for x, y in zip(ra, rb):
+        assert x.generated == y.generated
+
+
+def test_engine_paged_kv_quant(tiny_model):
+    """Paged + int8 KV engine still greedy-matches the reference forward."""
+    cfg, params = tiny_model
+    prompt = [1, 2, 3, 4, 5]
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True, hot=4,
+                 page=8, kv_quant=True, cache_dtype=jnp.bfloat16)
+    [req] = eng.run([dict(prompt=prompt, max_new_tokens=6)])
+    want = _greedy_reference(params, cfg, prompt, 6)
+    assert req.generated[:6] == want
+
+
+def test_engine_paged_stream(tiny_model):
+    cfg, params = tiny_model
+    e1 = Engine(params, cfg, max_batch=2, max_seq=64, paged=True, hot=4)
+    toks = list(e1.stream([1, 2, 3], max_new_tokens=5))
+    e2 = Engine(params, cfg, max_batch=2, max_seq=64)
+    [req] = e2.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
+    assert toks == req.generated
