@@ -97,7 +97,11 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
 def linear_apply(w, x: jax.Array) -> jax.Array:
     """Dense-or-packed dispatch: the model code path calls this for every
     projection so a quantized model is just the same param tree with
-    PackedLinear leaves."""
+    PackedLinear leaves. ActQuant wrappers (ops/actquant.py — reference
+    ActQuantWrapper parity) quantize the activations first, then recurse."""
+    from quip_tpu.ops.actquant import ActQuant
+    if isinstance(w, ActQuant):
+        return linear_apply(w.inner, w.quantize(x))
     if isinstance(w, PackedLinear):
         return qlinear_apply(w, x)
     return x @ w
