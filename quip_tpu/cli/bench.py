@@ -61,8 +61,6 @@ def main(argv=None):
         p.error(f"--prefix {args.prefix} + --tokens {args.tokens} (+4 "
                 f"warmup) exceeds the KV cache (--max_seq {args.max_seq}); "
                 f"raise --max_seq")
-    if args.paged and (args.dp * args.tp > 1):
-        p.error("--paged does not support --dp/--tp meshes yet")
 
     params, cfg = common.load_model(args)
     if args.load:
@@ -97,18 +95,22 @@ def main(argv=None):
     if mesh is not None:
         # batch over 'dp', KV heads over 'tp' — without these the decode
         # runs replicated and dp/tp scaling numbers are meaningless
-        cspec = NamedSharding(mesh, cache_specs(cfg))
-        caches = type(caches)(*[
-            None if x is None else jax.device_put(x, cspec)
-            for x in caches[:2]
-        ], caches.length, *[
-            None if x is None
-            else jax.device_put(
-                x, NamedSharding(mesh,
-                                 jax.sharding.PartitionSpec(
-                                     None, "dp", None, "tp")))
-            for x in caches[3:]
-        ])
+        if args.paged:
+            from quip_tpu.parallel.mesh import shard_paged
+            caches = shard_paged(caches, mesh)
+        else:
+            cspec = NamedSharding(mesh, cache_specs(cfg))
+            caches = type(caches)(*[
+                None if x is None else jax.device_put(x, cspec)
+                for x in caches[:2]
+            ], caches.length, *[
+                None if x is None
+                else jax.device_put(
+                    x, NamedSharding(mesh,
+                                     jax.sharding.PartitionSpec(
+                                         None, "dp", None, "tp")))
+                for x in caches[3:]
+            ])
 
     if args.paged:
         @jax.jit

@@ -199,6 +199,40 @@ def cache_specs(cfg: ModelConfig) -> P:
     return P(None, "dp", None, "tp", None)
 
 
+def paged_cache_specs(caches) -> Any:
+    """PartitionSpec tree for a PagedKV (models/paged.py): frozen + hot
+    arrays (layers, batch, len, kv_heads, hd) shard batch over 'dp' and
+    heads over 'tp'; the per-slot base/hot_len cursors shard over 'dp'.
+    Page reads (dynamic_slice on the len axis) and the hot-ring updates are
+    sharding-preserving, so GSPMD runs the page loop without resharding."""
+    from quip_tpu.models.paged import PagedKV
+
+    def arr5(x):
+        return None if x is None else P(None, "dp", None, "tp", None)
+
+    def arr4(x):
+        return None if x is None else P(None, "dp", None, "tp")
+
+    return PagedKV(
+        arr5(caches.k), arr5(caches.v), arr5(caches.hot_k),
+        arr5(caches.hot_v), P("dp"), P("dp"),
+        arr4(caches.ks), arr4(caches.vs),
+        arr4(caches.hot_ks), arr4(caches.hot_vs))
+
+
+def shard_paged(caches, mesh: Mesh):
+    """Place a PagedKV on the mesh."""
+    specs = paged_cache_specs(caches)
+
+    def place(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, caches, specs,
+                        is_leaf=lambda x: x is None)
+
+
 def seq_sharded_spec() -> P:
     """Sequence-axis sharding for long-context prefill (SURVEY.md §5.7):
     tokens (B, S) partitioned over 'dp' on the sequence axis; GSPMD inserts

@@ -424,3 +424,37 @@ def test_engine_paged_stream(tiny_model):
     e2 = Engine(params, cfg, max_batch=2, max_seq=64)
     [req] = e2.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
     assert toks == req.generated
+
+
+def test_paged_sharded_matches_unsharded(tiny_model):
+    """Paged decode under a dp x tp mesh == unsharded paged decode."""
+    from quip_tpu.models import paged as P
+    from quip_tpu.parallel.mesh import make_mesh, shard_params, shard_paged
+
+    cfg, params = tiny_model
+    B = 4
+    tok = jnp.asarray(np.arange(1, B + 1)[:, None], jnp.int32)
+
+    def chain(params, caches, steps=10, page=8):
+        step = jax.jit(lambda p, t, c: P.paged_decode_step(p, t, c, cfg,
+                                                           page=page))
+        flush = jax.jit(P.flush_hot)
+        t = tok
+        outs = []
+        for i in range(steps):
+            logits, hot_s = step(params, t, caches)
+            caches = P.advance(caches, hot_s)
+            if (i + 1) % 4 == 0:
+                caches = flush(caches)
+            t = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+            outs.append(np.asarray(logits, np.float32))
+        return np.stack(outs)
+
+    base = chain(params, P.init_paged(B, 32, cfg, dtype=jnp.float32, hot=4))
+
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_paged(P.init_paged(B, 32, cfg, dtype=jnp.float32, hot=4),
+                     mesh)
+    sharded = chain(sp, sc)
+    np.testing.assert_allclose(sharded, base, rtol=2e-4, atol=2e-4)
