@@ -27,10 +27,20 @@ def main(argv=None):
                    help="tensor-parallel ways over the device mesh")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantize the KV cache (halves cache HBM "
-                        "traffic; ~15%% faster decode at 2048 ctx)")
-    p.add_argument("--chunked", action="store_true",
-                   help="decode up to 16 tokens per dispatch (best on "
-                        "runtimes with working buffer donation)")
+                        "traffic; ~15%% faster decode at 2048 ctx; required "
+                        "to fit large max_batch x max_seq engines)")
+    p.add_argument("--no_paged", action="store_true",
+                   help="use the flat arena KV cache instead of the paged "
+                        "two-level cache (paged measured 1.8-6.8x served "
+                        "throughput — docs/PERF.md)")
+    p.add_argument("--hot", type=int, default=64,
+                   help="paged mode: hot-ring size (flush period)")
+    p.add_argument("--page", type=int, default=64,
+                   help="paged mode: frozen-arena read-page size")
+    p.add_argument("--no_chunked", action="store_true",
+                   help="decode per-token instead of up to 16 tokens per "
+                        "dispatch (chunked amortizes the per-step host "
+                        "read 16x on relayed backends)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -55,15 +65,21 @@ def main(argv=None):
     if prompts == ["-"]:
         prompts = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
 
+    import jax
+    import jax.numpy as jnp
+
     from quip_tpu.serve.engine import Engine
+    cache_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                   else jnp.float32)
     eng = Engine(params, cfg, max_batch=args.max_batch,
                  max_seq=args.max_seq, kv_quant=args.kv_quant,
-                 seed=args.seed)
+                 cache_dtype=cache_dtype, paged=not args.no_paged,
+                 hot=args.hot, page=args.page, seed=args.seed)
     t0 = time.time()
     reqs = eng.run([dict(prompt=tokenizer.encode(s),
                          max_new_tokens=args.max_new_tokens,
                          temperature=args.temperature) for s in prompts],
-                   chunked=args.chunked)
+                   chunked=not args.no_chunked)
     dt = time.time() - t0
     total_toks = sum(len(r.generated) for r in reqs)
     for s, r in zip(prompts, reqs):
