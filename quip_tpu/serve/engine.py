@@ -386,7 +386,14 @@ class Engine:
 
     def submit(self, prompt, max_new_tokens=32, temperature=0.0,
                top_k=0) -> int:
-        req = Request(self._uid, np.asarray(prompt, np.int32),
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.size == 0:
+            raise ValueError("empty prompt")
+        if prompt.size >= self.max_seq - 1:
+            raise ValueError(
+                f"prompt length {prompt.size} >= max_seq-1 "
+                f"({self.max_seq - 1}); raise max_seq or truncate")
+        req = Request(self._uid, prompt,
                       max_new_tokens, temperature, top_k)
         self._uid += 1
         self._queue.append(req)

@@ -458,3 +458,18 @@ def test_paged_sharded_matches_unsharded(tiny_model):
                      mesh)
     sharded = chain(sp, sc)
     np.testing.assert_allclose(sharded, base, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_rejects_oversized_prompt(tiny_model):
+    cfg, params = tiny_model
+    for paged in (False, True):
+        eng = Engine(params, cfg, max_batch=1, max_seq=16, paged=paged,
+                     hot=4, page=8)
+        with pytest.raises(ValueError, match="max_seq"):
+            eng.submit(list(range(1, 17)))
+        with pytest.raises(ValueError, match="empty"):
+            eng.submit([])
+        # boundary: longest admissible prompt still generates
+        [req] = eng.run([dict(prompt=list(range(1, 15)),
+                              max_new_tokens=4)])
+        assert len(req.generated) >= 1
