@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 
 def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
-                 chunk=1, kv_quant=False, paged=True, hot=64, page=64):
+                 chunk=1, kv_quant=False, paged=True, hot=32, page=64):
     """Decode throughput, paged two-level KV cache by default
     (models/paged.py — the serving path: per-step cost scales with used
     context, not capacity; +3% here at 160 ctx, +15% at 2048, +56% on a

@@ -39,7 +39,7 @@ def main(argv=None):
     p.add_argument("--paged", action="store_true",
                    help="paged two-level KV cache (models/paged.py): decode "
                         "cost scales with used context, not --max_seq")
-    p.add_argument("--hot", type=int, default=128,
+    p.add_argument("--hot", type=int, default=32,
                    help="paged mode: hot-ring size (flush period)")
     p.add_argument("--page", type=int, default=256,
                    help="paged mode: frozen-arena read-page size")

@@ -33,7 +33,7 @@ def main(argv=None):
                    help="use the flat arena KV cache instead of the paged "
                         "two-level cache (paged measured 1.8-6.8x served "
                         "throughput — docs/PERF.md)")
-    p.add_argument("--hot", type=int, default=64,
+    p.add_argument("--hot", type=int, default=32,
                    help="paged mode: hot-ring size (flush period)")
     p.add_argument("--page", type=int, default=64,
                    help="paged mode: frozen-arena read-page size")

@@ -101,7 +101,7 @@ def advance(caches: PagedKV, hot: Hot) -> PagedKV:
 
 def init_paged(batch: int, capacity: int, cfg: ModelConfig,
                dtype=jnp.bfloat16, quantized: bool = False,
-               hot: int = 128, page: Optional[int] = None) -> PagedKV:
+               hot: int = 32, page: Optional[int] = None) -> PagedKV:
     """Zero-initialized paged cache. ``capacity`` is the frozen arena size;
     generation must keep ``base + hot <= capacity`` (drivers stop slots at
     ``capacity - hot`` so a flush always fits). Passing ``page`` rounds

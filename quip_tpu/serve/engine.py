@@ -212,7 +212,7 @@ class Engine:
     def __init__(self, params: Dict[str, Any], cfg: ModelConfig, *,
                  max_batch: int = 8, max_seq: int = 512,
                  cache_dtype=jnp.float32, kv_quant: bool = False,
-                 paged: bool = False, hot: int = 128, page: int = 256,
+                 paged: bool = False, hot: int = 32, page: int = 64,
                  seed: int = 0):
         """paged=True uses the two-level paged KV cache (models/paged.py):
         per-step cost scales with used context instead of max_seq — the
