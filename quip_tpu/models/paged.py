@@ -230,30 +230,46 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
              jnp.zeros((B, KV, rep), jnp.float32),
              jnp.zeros((B, KV, rep, hd), jnp.float32))
 
-    n_pages = (jnp.max(caches.base).astype(jnp.int32)
-               + (page - 1)) // page
+    max_base = jnp.max(caches.base).astype(jnp.int32)
 
-    def page_body(pidx, state):
-        start = pidx * page
-        pk = lax.dynamic_slice(
-            caches.k, (layer, zero, start, zero, zero),
-            (1, B, page, KV, hd))[0]
-        pv = lax.dynamic_slice(
-            caches.v, (layer, zero, start, zero, zero),
-            (1, B, page, KV, hd))[0]
-        psc = pvs = None
-        if caches.ks is not None:
-            psc = lax.dynamic_slice(
-                caches.ks, (layer, zero, start, zero), (1, B, page, KV))[0]
-            pvs = lax.dynamic_slice(
-                caches.vs, (layer, zero, start, zero), (1, B, page, KV))[0]
-        kpos = start + jnp.arange(page, dtype=jnp.int32)
-        kpos = jnp.broadcast_to(kpos[None, :], (B, page))
-        valid = kpos < caches.base[:, None]
-        return _accum(state, q2, pk, pv, kpos, valid, pos, slopes,
-                      psc, pvs, scale)
+    def page_body(psize):
+        def body(pidx, state):
+            start = pidx * psize
+            pk = lax.dynamic_slice(
+                caches.k, (layer, zero, start, zero, zero),
+                (1, B, psize, KV, hd))[0]
+            pv = lax.dynamic_slice(
+                caches.v, (layer, zero, start, zero, zero),
+                (1, B, psize, KV, hd))[0]
+            psc = pvs = None
+            if caches.ks is not None:
+                psc = lax.dynamic_slice(
+                    caches.ks, (layer, zero, start, zero),
+                    (1, B, psize, KV))[0]
+                pvs = lax.dynamic_slice(
+                    caches.vs, (layer, zero, start, zero),
+                    (1, B, psize, KV))[0]
+            kpos = start + jnp.arange(psize, dtype=jnp.int32)
+            kpos = jnp.broadcast_to(kpos[None, :], (B, psize))
+            valid = kpos < caches.base[:, None]
+            return _accum(state, q2, pk, pv, kpos, valid, pos, slopes,
+                          psc, pvs, scale)
+        return body
 
-    state = lax.fori_loop(0, n_pages, page_body, state)
+    # telescoped page loop: per-iteration overhead (~5 µs) makes many small
+    # pages slow at long context (page 256->1024 measured +19% at 1900 ctx)
+    # while large pages waste reads at short context (rounding up). Big
+    # pages (8x) cover the bulk; small pages finish the tail, so reads
+    # round up only to the small page size.
+    big = 8 * page
+    if big < caches.capacity:
+        n_big = max_base // big                       # full big pages only
+        state = lax.fori_loop(0, n_big, page_body(big), state)
+        lo = n_big * (big // page)                    # continue in small pages
+    else:
+        lo = jnp.zeros((), jnp.int32)
+    n_pages = (max_base + (page - 1)) // page
+    state = lax.fori_loop(lo, n_pages, page_body(page), state)
 
     # hot block: positions base..base+hot_len (inclusive of the new token)
     kpos = caches.base[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]

@@ -186,3 +186,16 @@ def test_paged_prefill_slot_admission():
         plen = 6 if seq is seq0 else 3
         gen = np.asarray(seq[plen:], np.int64)
         np.testing.assert_array_equal(gen, ref[plen - 1: len(seq) - 1])
+
+
+def test_paged_telescoped_big_pages():
+    """Config where the 8x big-page loop actually runs (base > 8*page):
+    parity vs the arena path across the big/small page boundary."""
+    cfg = get_config("llama-tiny")
+    params = _params(cfg)
+    start = np.array([3, 7], np.int32)
+    steps = 44                       # base reaches 40 > big=4*8=32... 8*4=32
+    t_ref, l_ref = _arena_chain(params, cfg, start, steps, 64, False)
+    t_pg, l_pg = _paged_chain(params, cfg, start, steps, 64, 4, 4, False)
+    np.testing.assert_array_equal(t_pg, t_ref)
+    np.testing.assert_allclose(l_pg, l_ref, rtol=2e-4, atol=2e-4)
