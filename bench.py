@@ -49,7 +49,10 @@ def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
                                                  page=page)
             return jnp.argmax(logits, -1)[:, None].astype(jnp.int32), hot_s
 
-        pflush = jax.jit(PG.flush_hot)
+        # donated flush: aliases memory on runtimes that support it
+        # (halves the flush working set; no timing effect — docs/PERF.md).
+        # Callers must consume-and-replace, never reuse the input caches.
+        pflush = jax.jit(PG.flush_hot, donate_argnums=0)
         n = 0
 
         def run_chunk(params, tok, caches):
@@ -62,8 +65,8 @@ def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
                 n = 0
             return tok, caches
 
-        # compile the flush outside the timed chain
-        pflush(caches)
+        # compile the flush outside the timed chain (consumes its input)
+        caches = pflush(caches)
     else:
         caches = M.init_caches(batch, max_seq, cfg, dtype=jnp.bfloat16,
                                quantized=kv_quant)

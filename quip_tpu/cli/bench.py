@@ -57,10 +57,11 @@ def main(argv=None):
                         "(llama.py:447, 464-467)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    if args.prefix + 4 + args.tokens > args.max_seq - 1:
+    n_lat = min(args.tokens, 16)
+    if args.prefix + 4 + args.tokens + n_lat > args.max_seq - 1:
         p.error(f"--prefix {args.prefix} + --tokens {args.tokens} (+4 "
-                f"warmup) exceeds the KV cache (--max_seq {args.max_seq}); "
-                f"raise --max_seq")
+                f"warmup, +{n_lat} latency probes) exceeds the KV cache "
+                f"(--max_seq {args.max_seq}); raise --max_seq")
 
     params, cfg = common.load_model(args)
     if args.load:
@@ -121,7 +122,7 @@ def main(argv=None):
             nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
             return nxt, jnp.take_along_axis(nll, nxt, 1)[:, 0], hot
 
-        pflush = jax.jit(PG.flush_hot)
+        pflush = jax.jit(PG.flush_hot, donate_argnums=0)
         hot_ctr = {"n": 0}
 
         def step(params, tok, caches):
@@ -149,7 +150,9 @@ def main(argv=None):
     for _ in range(4):
         tok, nll, caches = step(params, tok, caches)
     if args.paged:
-        pflush(caches)       # compile the flush OUTSIDE the timed chain
+        # compile the flush OUTSIDE the timed chain (donated: consumes input)
+        caches = pflush(caches)
+        hot_ctr["n"] = 0
     int(tok[0, 0])
 
     # throughput: chain all steps, sync once
@@ -163,11 +166,11 @@ def main(argv=None):
     dt_chain = (time.time() - t0) / args.tokens
 
     # median latency with a per-token hard sync (reference benchmark()
-    # semantics: per-step cuda.synchronize, llama.py:455-457). This loop
-    # continues from the 4-step warmup caches, so it needs
-    # 4 + n_lat <= max_seq - 1.
+    # semantics: per-step cuda.synchronize, llama.py:455-457). Continues
+    # from the CHAIN's final cache state — the pre-chain snapshot shares
+    # (and, in paged mode, has donated away) the frozen buffers.
     lat = []
-    n_lat = min(args.tokens, 16, max(args.max_seq - 5, 0))
+    tok, caches = tok_t, caches_t
     for _ in range(n_lat):
         t0 = time.time()
         tok, nll, caches = step(params, tok, caches)

@@ -239,9 +239,12 @@ class Engine:
         self.kv = BatchedKV(cfg, self.max_batch, self.max_seq, cache_dtype,
                             quantize=kv_quant)
 
+        # arena donated: in-out pair; halves the per-step working set on
+        # runtimes where donation aliases memory (docs/PERF.md)
         self._decode = jax.jit(
             lambda params, tokens, lengths, arena:
-            _slot_attention_step(params, cfg, tokens, lengths, arena))
+            _slot_attention_step(params, cfg, tokens, lengths, arena),
+            donate_argnums=3)
 
         # chunked decode: T tokens per dispatch inside one lax.scan, with
         # in-graph sampling. Saves dispatches and, on runtimes with working
@@ -263,7 +266,8 @@ class Engine:
             return toks.T, arena
 
         self._decode_chunk = jax.jit(decode_chunk,
-                                     static_argnames=("n_steps", "top_k"))
+                                     static_argnames=("n_steps", "top_k"),
+                                     donate_argnums=3)
 
         # prefill: run full prompt through the model once, capturing K/V.
         # Prompts are padded to power-of-two length buckets so the engine
@@ -312,7 +316,7 @@ class Engine:
             last = lax.dynamic_slice_in_dim(logits, plen - 1, 1, axis=1)
             return last[:, 0, :], arena
 
-        self._prefill = jax.jit(prefill)
+        self._prefill = jax.jit(prefill, donate_argnums=3)
 
     def _init_paged(self, cache_dtype, kv_quant, hot, page):
         from quip_tpu.models import paged as PG
@@ -332,10 +336,15 @@ class Engine:
         self._decode_paged = jax.jit(
             lambda params, tokens, caches:
             PG.paged_decode_step(params, tokens, caches, cfg, page=page))
-        self._flush = jax.jit(PG.flush_hot)
+        # donate the cache pytrees: on this runtime donation aliases MEMORY
+        # (halves the flush/prefill working set — a 13B b32 bf16 engine OOMs
+        # without it) even though updates still cost copy time
+        # (docs/PERF.md). Callers always consume-and-replace the cache.
+        self._flush = jax.jit(PG.flush_hot, donate_argnums=0)
         self._prefill_paged = jax.jit(
             lambda params, tokens, plen, caches, slot:
-            PG.paged_prefill_slot(params, tokens, plen, caches, slot, cfg))
+            PG.paged_prefill_slot(params, tokens, plen, caches, slot, cfg),
+            donate_argnums=3)
 
         # chunked decode with in-graph sampling: the scan carries only the
         # hot ring (O(hot) per iteration), unlike the arena decode_chunk
