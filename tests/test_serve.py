@@ -473,3 +473,25 @@ def test_engine_rejects_oversized_prompt(tiny_model):
         [req] = eng.run([dict(prompt=list(range(1, 15)),
                               max_new_tokens=4)])
         assert len(req.generated) >= 1
+
+
+@pytest.mark.parametrize("paged,chunked", [(False, False), (True, False),
+                                           (True, True)])
+def test_engine_fuzz_greedy_parity(tiny_model, paged, chunked):
+    """Random request mix (lengths, budgets) through continuous batching:
+    every completed request must match its teacher-forced greedy tokens —
+    catches admission/retirement/flush bookkeeping bugs."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(7)
+    eng = Engine(params, cfg, max_batch=3, max_seq=48, paged=paged,
+                 hot=4, page=8)
+    prompts, budgets = [], []
+    for _ in range(9):
+        plen = int(rng.integers(1, 20))
+        prompts.append(rng.integers(1, cfg.vocab_size, (plen,)).tolist())
+        budgets.append(int(rng.integers(1, 12)))
+    out = eng.run([dict(prompt=p, max_new_tokens=n)
+                   for p, n in zip(prompts, budgets)], chunked=chunked)
+    for p, n, r in zip(prompts, budgets, out):
+        want = _greedy_reference(params, cfg, p, n)
+        assert r.generated[:n] == want, (p, n, r.generated, want)
