@@ -134,22 +134,24 @@ def init_paged(batch: int, capacity: int, cfg: ModelConfig,
 
 def _accum(state, q2, keys, vals, kpos, valid, pos, slopes,
            ksc, vsc, scale):
-    """One online-softmax block update.
+    """One online-softmax block update (multi-query window).
 
-    q2 (B, KV, rep, hd); keys/vals (B, T, KV, hd); kpos (B, T) absolute key
-    positions; valid (B, T). ksc/vsc (B, T, KV) int8-mode scales or None.
-    state = (m, lsum, acc) running max / normalizer / weighted V sum (f32).
+    q2 (B, KV, rep, S, hd); keys/vals (B, T, KV, hd); kpos (B, T) absolute
+    key positions; valid (B, S, T) per query position. ksc/vsc (B, T, KV)
+    int8-mode scales or None. pos (B, S) absolute query positions (ALiBi).
+    state = (m, lsum, acc) running max / normalizer / weighted V sum (f32),
+    shapes (B, KV, rep, S) / (B, KV, rep, S) / (B, KV, rep, S, hd).
     """
     m, lsum, acc = state
-    lg = jnp.einsum("bkrd,btkd->bkrt", q2,
+    lg = jnp.einsum("bkrsd,btkd->bkrst", q2,
                     keys.astype(q2.dtype)).astype(jnp.float32) * scale
     if ksc is not None:
-        lg = lg * jnp.transpose(ksc, (0, 2, 1))[:, :, None, :]
+        lg = lg * jnp.transpose(ksc, (0, 2, 1))[:, :, None, None, :]
     if slopes is not None:      # ALiBi: bias = -slope * (query_pos - key_pos)
-        dist = (pos[:, None, None, None].astype(jnp.float32)
-                - kpos[:, None, None, :].astype(jnp.float32))
-        lg = lg - slopes[None, :, :, None] * dist
-    vmask = valid[:, None, None, :]
+        dist = (pos[:, None, None, :, None].astype(jnp.float32)
+                - kpos[:, None, None, None, :].astype(jnp.float32))
+        lg = lg - slopes[None, :, :, None, None] * dist
+    vmask = valid[:, None, None, :, :]
     lg = jnp.where(vmask, lg, _NEG)
     m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
     pe = jnp.exp(lg - m_new[..., None])
@@ -159,9 +161,9 @@ def _accum(state, q2, keys, vals, kpos, valid, pos, slopes,
     if vsc is not None:
         # V scales fold into the weighted sum only — NOT the softmax
         # normalizer (arena path: softmax first, then probs·vs)
-        pe = pe * jnp.transpose(vsc, (0, 2, 1))[:, :, None, :]
+        pe = pe * jnp.transpose(vsc, (0, 2, 1))[:, :, None, None, :]
     acc = acc * alpha[..., None] + jnp.einsum(
-        "bkrt,btkd->bkrd", pe, vals.astype(jnp.float32))
+        "bkrst,btkd->bkrsd", pe, vals.astype(jnp.float32))
     return m_new, lsum, acc
 
 
@@ -169,13 +171,13 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
                      caches: PagedKV, hot_l, pos, rope_cs, page: int):
     """Single-token attention against (frozen pages + hot ring).
 
-    h (B, 1, D); layer: traced layer index for frozen-page slicing; hot_l =
-    (hot_k, hot_v, hot_ks, hot_vs) this layer's hot slabs (from the layer
-    scan); pos (B,) absolute position of the incoming token. Returns
-    (out (B, 1, D), new hot_l).
+    h (B, S, D) — the S-token append window (S=1 is plain decode); layer:
+    traced layer index for frozen-page slicing; hot_l = (hot_k, hot_v,
+    hot_ks, hot_vs) this layer's hot slabs (from the layer scan); pos
+    (B, S) absolute positions of the incoming tokens (causal within the
+    window). Returns (out (B, S, D), new hot_l).
     """
     B, S, D = h.shape
-    assert S == 1, "paged attention is a decode (single-token) path"
     H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
     rep = H // KV
     hot_k_l, hot_v_l, hks_l, hvs_l = hot_l
@@ -199,8 +201,8 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
         q = M.apply_rope(q, cos, sin)
         k = M.apply_rope(k, cos, sin)
 
-    # write the new K/V into each slot's hot ring at its own hot_len
-    hlen = pos - caches.base                     # (B,) == hot_len
+    # write the S new K/V rows into each slot's hot ring at its own hot_len
+    hlen = pos[:, 0] - caches.base               # (B,) == hot_len
     zero = jnp.zeros((), jnp.int32)
 
     def upd(arr_b, new_b, at):
@@ -222,13 +224,13 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
         hot_k_l = jax.vmap(upd)(hot_k_l, k, hlen)
         hot_v_l = jax.vmap(upd)(hot_v_l, v, hlen)
 
-    q2 = q[:, 0].reshape(B, KV, rep, hd)
+    q2 = q.reshape(B, S, KV, rep, hd).transpose(0, 2, 3, 1, 4)
     slopes = (M.alibi_slopes(H).reshape(KV, rep)
               if cfg.positions == "alibi" else None)
     scale = jnp.float32(1.0 / math.sqrt(hd))
-    state = (jnp.full((B, KV, rep), _NEG, jnp.float32),
-             jnp.zeros((B, KV, rep), jnp.float32),
-             jnp.zeros((B, KV, rep, hd), jnp.float32))
+    state = (jnp.full((B, KV, rep, S), _NEG, jnp.float32),
+             jnp.zeros((B, KV, rep, S), jnp.float32),
+             jnp.zeros((B, KV, rep, S, hd), jnp.float32))
 
     max_base = jnp.max(caches.base).astype(jnp.int32)
 
@@ -251,7 +253,9 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
                     (1, B, psize, KV))[0]
             kpos = start + jnp.arange(psize, dtype=jnp.int32)
             kpos = jnp.broadcast_to(kpos[None, :], (B, psize))
-            valid = kpos < caches.base[:, None]
+            # frozen rows are < base, hence before every query position
+            valid = jnp.broadcast_to(
+                (kpos < caches.base[:, None])[:, None, :], (B, S, psize))
             return _accum(state, q2, pk, pv, kpos, valid, pos, slopes,
                           psc, pvs, scale)
         return body
@@ -271,15 +275,18 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
     n_pages = (max_base + (page - 1)) // page
     state = lax.fori_loop(lo, n_pages, page_body(page), state)
 
-    # hot block: positions base..base+hot_len (inclusive of the new token)
+    # hot block: query s (at hot index hlen+s) attends hot rows j <= hlen+s
+    # — causal within the appended window, inclusive of its own row
     kpos = caches.base[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
-    valid = jnp.arange(P, dtype=jnp.int32)[None, :] <= hlen[:, None]
+    qidx = hlen[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B, S)
+    valid = (jnp.arange(P, dtype=jnp.int32)[None, None, :]
+             <= qidx[:, :, None])                                   # (B,S,P)
     state = _accum(state, q2, hot_k_l, hot_v_l, kpos, valid, pos, slopes,
                    ks_new, vs_new, scale)
 
     m, lsum, acc = state
     out = acc / jnp.maximum(lsum, 1e-30)[..., None]
-    out = out.reshape(B, 1, H * hd).astype(h.dtype)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, S, H * hd).astype(h.dtype)
     out = linear_apply(p["wo"], out) + p.get("bo", 0.0)
     return out, (hot_k_l, hot_v_l, ks_new, vs_new)
 
@@ -289,24 +296,33 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def paged_decode_step(params, tokens: jax.Array, caches: PagedKV,
+def paged_append_step(params, tokens: jax.Array, caches: PagedKV,
                       cfg: ModelConfig, *, page: int = 256
                       ) -> Tuple[jax.Array, Hot]:
-    """One decode token per slot against the paged cache.
+    """Append S tokens per slot to the paged cache and return their logits.
 
-    tokens (B, 1). Returns (logits (B, V), Hot) — the frozen arena is read
-    (by pages, up to the used length) but never returned, so jitting this
-    function costs O(hot) output copy per step regardless of capacity.
-    Callers fold Hot back with :func:`advance` and must :func:`flush_hot`
-    before ``hot_len`` reaches the hot size.
+    tokens (B, S). The window is causal (token s attends frozen + hot +
+    window tokens <= s); K/V rows land in the hot ring at
+    hot_len..hot_len+S-1, so callers need ``max(hot_len) + S <= hot size``
+    (flush first). Returns (logits (B, S, V), Hot with hot_len + S).
+
+    S = 1 is plain decode (:func:`paged_decode_step`). S > 1 serves
+    chunked prefill (streaming a prompt through the hot ring: O(prompt)
+    traffic instead of a full-arena write) and the speculative-decoding
+    verify pass — rolling back rejected tokens is just NOT advancing
+    hot_len (rows past hot_len are dead and get overwritten).
+
+    The frozen arena is read (by telescoped pages, up to the used length)
+    but never returned: the per-call cache-output copy is O(hot)
+    regardless of capacity.
     """
     if caches.capacity % page:
         raise ValueError(
             f"capacity {caches.capacity} must be a multiple of page {page} "
             f"(init_paged(..., page=...) rounds it up)")
-    B = tokens.shape[0]
-    pos = caches.base + caches.hot_len            # (B,)
-    positions = pos[:, None]
+    B, S = tokens.shape
+    pos0 = caches.base + caches.hot_len           # (B,)
+    positions = pos0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     x = M.embed(params, tokens, cfg, positions)
     rope_cs = (M.rope_tables(cfg, positions)
                if cfg.positions == "rope" else None)
@@ -327,7 +343,8 @@ def paged_decode_step(params, tokens: jax.Array, caches: PagedKV,
             hks = hvs = None
         h = M.norm(bp["ln1"], x, cfg) if cfg.do_layer_norm_before else x
         a, hot_l = _paged_attention(bp["attn"], h, cfg, l, caches,
-                                    (hk, hv, hks, hvs), pos, rope_cs, page)
+                                    (hk, hv, hks, hvs), positions, rope_cs,
+                                    page)
         x = x + a
         if not cfg.do_layer_norm_before:
             x = M.norm(bp["ln1"], x, cfg)
@@ -340,9 +357,20 @@ def paged_decode_step(params, tokens: jax.Array, caches: PagedKV,
         return (x, l + 1), hot_l
 
     (x, _), hot_ys = lax.scan(body, (x, jnp.zeros((), jnp.int32)), xs)
-    logits = M.unembed(params, x, cfg)[:, -1, :]
+    logits = M.unembed(params, x, cfg)
     hk, hv, hks, hvs = hot_ys
-    return logits, Hot(hk, hv, caches.hot_len + 1, hks, hvs)
+    return logits, Hot(hk, hv, caches.hot_len + S, hks, hvs)
+
+
+def paged_decode_step(params, tokens: jax.Array, caches: PagedKV,
+                      cfg: ModelConfig, *, page: int = 256
+                      ) -> Tuple[jax.Array, Hot]:
+    """One decode token per slot against the paged cache.
+
+    tokens (B, 1). Returns (logits (B, V), Hot) — see paged_append_step.
+    """
+    logits, hot = paged_append_step(params, tokens, caches, cfg, page=page)
+    return logits[:, -1, :], hot
 
 
 def paged_decode_scan(params, tokens: jax.Array, caches: PagedKV,

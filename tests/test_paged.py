@@ -199,3 +199,62 @@ def test_paged_telescoped_big_pages():
     t_pg, l_pg = _paged_chain(params, cfg, start, steps, 64, 4, 4, False)
     np.testing.assert_array_equal(t_pg, t_ref)
     np.testing.assert_allclose(l_pg, l_ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("name", ["llama-tiny", "opt-tiny", "bloom-tiny"])
+def test_paged_append_teacher_forced(name):
+    """Feeding a fixed token sequence through paged_append_step in mixed
+    window sizes must match the full forward pass at every position
+    (causal-within-window + frozen/hot boundary + flushes)."""
+    cfg = get_config(name)
+    params = _params(cfg)
+    rng = np.random.default_rng(3)
+    seq = rng.integers(1, cfg.vocab_size, (2, 21)).astype(np.int32)
+
+    fwd = jax.jit(lambda p, t: M.forward(p, t, cfg))
+    want = np.asarray(fwd(params, jnp.asarray(seq)), np.float32)
+
+    caches = P.init_paged(2, 64, cfg, dtype=jnp.float32, hot=8)
+    flush = jax.jit(P.flush_hot)
+    got = []
+    i = 0
+    for S in (3, 1, 4, 2, 5, 1, 3, 2):      # mixed window sizes, sum 21
+        window = jnp.asarray(seq[:, i:i + S])
+        logits, hot_state = jax.jit(
+            lambda p, t, c: P.paged_append_step(p, t, c, cfg, page=8)
+        )(params, window, caches)
+        caches = P.advance(caches, hot_state)
+        if int(np.max(np.asarray(caches.hot_len))) > 8 - 5:
+            caches = flush(caches)
+        got.append(np.asarray(logits, np.float32))
+        i += S
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_paged_append_gqa_int8():
+    """S>1 window with GQA grouping and int8 KV."""
+    cfg = dataclasses.replace(get_config("llama-tiny"), n_kv_heads=2)
+    params = _params(cfg)
+    rng = np.random.default_rng(4)
+    seq = rng.integers(1, cfg.vocab_size, (1, 12)).astype(np.int32)
+    fwd = jax.jit(lambda p, t: M.forward(p, t, cfg))
+    want = np.asarray(fwd(params, jnp.asarray(seq)), np.float32)
+
+    caches = P.init_paged(1, 32, cfg, dtype=jnp.float32, hot=8,
+                          quantized=True)
+    flush = jax.jit(P.flush_hot)
+    step = jax.jit(lambda p, t, c: P.paged_append_step(p, t, c, cfg, page=8))
+    got = []
+    i = 0
+    for S in (4, 4, 4):
+        logits, hot_state = step(params, jnp.asarray(seq[:, i:i + S]),
+                                 caches)
+        caches = P.advance(caches, hot_state)
+        caches = flush(caches)
+        got.append(np.asarray(logits, np.float32))
+        i += S
+    got = np.concatenate(got, axis=1)
+    # int8 KV: the PROMPT keys are quantized here (unlike the fp teacher),
+    # so compare greedy tokens rather than exact logits
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))
