@@ -202,7 +202,7 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
         k = M.apply_rope(k, cos, sin)
 
     # write the S new K/V rows into each slot's hot ring at its own hot_len
-    hlen = pos[:, 0] - caches.base               # (B,) == hot_len
+    hlen = (pos[:, 0] - caches.base).astype(jnp.int32)   # (B,) == hot_len
     zero = jnp.zeros((), jnp.int32)
 
     def upd(arr_b, new_b, at):
