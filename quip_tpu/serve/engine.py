@@ -213,13 +213,20 @@ class Engine:
                  max_batch: int = 8, max_seq: int = 512,
                  cache_dtype=jnp.float32, kv_quant: bool = False,
                  paged: bool = False, hot: int = 32, page: int = 64,
+                 draft=None, spec_k: int = 4,
                  seed: int = 0):
         """paged=True uses the two-level paged KV cache (models/paged.py):
         per-step cost scales with used context instead of max_seq — the
         right mode when max_seq is provisioned larger than typical requests
         (+56% decode at 7B with a 2048-capacity cache and short requests —
         docs/PERF.md). hot/page tune the hot-ring size (flush period) and
-        the frozen-arena read-page size."""
+        the frozen-arena read-page size.
+
+        draft=(draft_params, draft_cfg) enables SPECULATIVE continuous
+        batching (greedy requests only): each step drafts spec_k tokens
+        and verifies them in one target append — up to spec_k tokens per
+        slot per step (serve/speculative.py; emitted streams are exactly
+        the target's greedy decoding). Implies paged=True."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -228,11 +235,40 @@ class Engine:
         self._slots: List[Optional[Request]] = [None] * max_batch
         self._queue: List[Request] = []
         self._uid = 0
+        self.spec = draft is not None
+        if self.spec:
+            paged = True
+            if spec_k >= hot:
+                raise ValueError(f"spec_k={spec_k} must be < hot={hot}")
         self.paged = paged
         if paged:
             self._init_paged(cache_dtype, kv_quant, hot, page)
         else:
             self._init_arena(cache_dtype, kv_quant)
+        if self.spec:
+            self._init_spec(draft, spec_k, cache_dtype, kv_quant)
+
+    def _init_spec(self, draft, spec_k, cache_dtype, kv_quant):
+        from quip_tpu.serve.speculative import spec_decode_step
+        PG = self._PG
+        self.draft_params, self.draft_cfg = draft
+        self.spec_k = spec_k
+        cap = self.pkv.capacity
+        self.dkv = PG.init_paged(self.max_batch, cap, self.draft_cfg,
+                                 dtype=cache_dtype, quantized=kv_quant,
+                                 hot=self.hot, page=self.page)
+        cfg_d, cfg_t, page = self.draft_cfg, self.cfg, self.page
+        self._spec_step = jax.jit(
+            lambda dp, tp, tok, dc, tc: spec_decode_step(
+                dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k, page=page))
+        self._prefill_draft = jax.jit(
+            lambda p, t, pl, c, s: PG.paged_prefill_slot(p, t, pl, c, s,
+                                                         cfg_d),
+            donate_argnums=3)
+
+    def _sync_dkv(self):
+        return self.dkv._replace(base=jnp.asarray(self._base),
+                                 hot_len=jnp.asarray(self._hotlen))
 
     def _init_arena(self, cache_dtype, kv_quant):
         cfg = self.cfg
@@ -373,11 +409,16 @@ class Engine:
         return self.pkv._replace(base=jnp.asarray(self._base),
                                  hot_len=jnp.asarray(self._hotlen))
 
+    def _flush_now(self):
+        self.pkv = self._flush(self._sync_pkv())
+        if self.spec:
+            self.dkv = self._flush(self._sync_dkv())
+        self._base += self._hotlen
+        self._hotlen[:] = 0
+
     def _maybe_flush(self):
         if int(self._hotlen.max()) >= self.hot:
-            self.pkv = self._flush(self._sync_pkv())
-            self._base += self._hotlen
-            self._hotlen[:] = 0
+            self._flush_now()
 
     def _lengths(self) -> np.ndarray:
         """Per-slot sequence lengths (host view)."""
@@ -402,6 +443,9 @@ class Engine:
             raise ValueError(
                 f"prompt length {prompt.size} >= max_seq-1 "
                 f"({self.max_seq - 1}); raise max_seq or truncate")
+        if self.spec and (temperature > 0 or top_k):
+            raise ValueError("speculative engine is greedy-only "
+                             "(temperature=0, top_k=0)")
         req = Request(self._uid, prompt,
                       max_new_tokens, temperature, top_k)
         self._uid += 1
@@ -428,6 +472,11 @@ class Engine:
                         jnp.asarray(plen, jnp.int32), self._sync_pkv(),
                         jnp.asarray(i, jnp.int32))
                     logits = logits[None]
+                    if self.spec:
+                        _, self.dkv = self._prefill_draft(
+                            self.draft_params, jnp.asarray(padded),
+                            jnp.asarray(plen, jnp.int32), self._sync_dkv(),
+                            jnp.asarray(i, jnp.int32))
                     self._base[i] = plen
                     self._hotlen[i] = 0
                 else:
@@ -444,9 +493,46 @@ class Engine:
                                   req.top_k)[0])
                 req.generated.append(tok)
 
+    def _step_spec(self) -> None:
+        """Speculative continuous-batching iteration: admit, draft+verify
+        up to spec_k tokens per active slot, retire finished requests."""
+        self._admit()
+        active = [i for i, r in enumerate(self._slots) if r is not None]
+        if not active:
+            return
+        if int(self._hotlen.max()) + self.spec_k > self.hot:
+            self._flush_now()
+        last = np.zeros((self.max_batch, 1), np.int32)
+        for i in active:
+            last[i, 0] = self._slots[i].generated[-1]
+        emitted, n_emit, d_hot, t_hot = self._spec_step(
+            self.draft_params, self.params, jnp.asarray(last),
+            self._sync_dkv(), self._sync_pkv())
+        self.dkv = self._PG.advance(self.dkv, d_hot)
+        self.pkv = self._PG.advance(self.pkv, t_hot)
+        em = np.asarray(emitted)
+        ne = np.asarray(n_emit)
+        for i in active:
+            req = self._slots[i]
+            # truncating to the budget keeps cursors exact: rows past the
+            # (host-authoritative) hot_len are dead
+            take = min(int(ne[i]),
+                       req.max_new_tokens + 1 - len(req.generated))
+            req.generated.extend(int(t) for t in em[i, :take])
+            self._hotlen[i] += take
+            length = self._base[i] + self._hotlen[i]
+            if (len(req.generated) >= req.max_new_tokens + 1
+                    or length >= self.max_seq - 1):
+                req.done = True
+                self._slots[i] = None
+                self._base[i] = 0
+                self._hotlen[i] = 0
+
     def step(self) -> None:
         """One continuous-batching iteration: admit, decode one token for
         all active slots, retire finished requests."""
+        if self.spec:
+            return self._step_spec()
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
@@ -504,6 +590,9 @@ class Engine:
         dispatch (lax.scan inside the jit — see decode_chunk). Falls back to
         single `step()` when slots disagree on top_k or a slot would finish
         mid-chunk. Returns the number of tokens decoded per slot."""
+        if self.spec:           # spec steps are already multi-token
+            self.step()
+            return self.spec_k
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:

@@ -495,3 +495,40 @@ def test_engine_fuzz_greedy_parity(tiny_model, paged, chunked):
     for p, n, r in zip(prompts, budgets, out):
         want = _greedy_reference(params, cfg, p, n)
         assert r.generated[:n] == want, (p, n, r.generated, want)
+
+
+def test_engine_speculative_matches_plain(tiny_model):
+    """Speculative continuous batching == plain greedy engine, including
+    admissions mid-flight, ragged acceptance, budgets, and flushes."""
+    cfg, params = tiny_model
+    draft = M.init_params(jax.random.key(5), cfg)   # unrelated draft
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10], [11, 12]]
+    budgets = [7, 4, 9, 3, 6]
+    plain = Engine(params, cfg, max_batch=2, max_seq=48, paged=True,
+                   hot=8, page=8)
+    want = plain.run([dict(prompt=p, max_new_tokens=n)
+                      for p, n in zip(prompts, budgets)])
+    spec = Engine(params, cfg, max_batch=2, max_seq=48, paged=True,
+                  hot=8, page=8, draft=(draft, cfg), spec_k=3)
+    got = spec.run([dict(prompt=p, max_new_tokens=n)
+                    for p, n in zip(prompts, budgets)])
+    for w, g, n in zip(want, got, budgets):
+        assert g.generated[:n] == w.generated[:n], (w.generated, g.generated)
+
+
+def test_engine_speculative_perfect_draft(tiny_model):
+    """Draft == target: every step accepts spec_k tokens; output parity."""
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=1, max_seq=64, paged=True, hot=8,
+                 page=8, draft=(params, cfg), spec_k=4)
+    [req] = eng.run([dict(prompt=[1, 2, 3, 4, 5], max_new_tokens=10)])
+    want = _greedy_reference(params, cfg, [1, 2, 3, 4, 5], 10)
+    assert req.generated[:10] == want
+
+
+def test_engine_speculative_rejects_sampling(tiny_model):
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=1, max_seq=32, paged=True, hot=8,
+                 page=8, draft=(params, cfg), spec_k=2)
+    with pytest.raises(ValueError, match="greedy-only"):
+        eng.submit([1, 2], temperature=0.7)
