@@ -21,6 +21,19 @@ def main(argv=None):
     p.add_argument("--max_seq", type=int, default=512)
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top_k", type=int, default=0,
+                   help="sample from the k highest-probability tokens "
+                        "(0 = full vocab)")
+    p.add_argument("--top_p", type=float, default=1.0,
+                   help="nucleus sampling mass (1.0 = no filter)")
+    p.add_argument("--self_draft", type=int, default=0,
+                   help="speculative decoding with a layer-skip self-draft: "
+                        "the target's first N blocks (zero extra weights)")
+    p.add_argument("--spec_draft", type=str, default=None,
+                   help="speculative decoding: checkpoint dir of a draft "
+                        "model (its config comes from the checkpoint meta)")
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft window length per speculative step")
     p.add_argument("--prompt", type=str, action="append", default=None,
                    help="prompt(s); '-' reads one prompt per stdin line")
     p.add_argument("--tp", type=int, default=1,
@@ -71,14 +84,28 @@ def main(argv=None):
     from quip_tpu.serve.engine import Engine
     cache_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                    else jnp.float32)
+    draft = None
+    if args.self_draft and args.spec_draft:
+        p.error("--self_draft and --spec_draft are mutually exclusive")
+    if args.self_draft:
+        from quip_tpu.serve.speculative import make_self_draft
+        draft = make_self_draft(params, cfg, args.self_draft)
+    elif args.spec_draft:
+        from quip_tpu.models import get_config
+        from quip_tpu.pack.model import load_checkpoint
+        dparams, dmeta = load_checkpoint(args.spec_draft)
+        draft = (dparams, get_config(dmeta["model"]))
+
     eng = Engine(params, cfg, max_batch=args.max_batch,
                  max_seq=args.max_seq, kv_quant=args.kv_quant,
                  cache_dtype=cache_dtype, paged=not args.no_paged,
-                 hot=args.hot, page=args.page, seed=args.seed)
+                 hot=args.hot, page=args.page, seed=args.seed,
+                 draft=draft, spec_k=args.spec_k)
     t0 = time.time()
     reqs = eng.run([dict(prompt=tokenizer.encode(s),
                          max_new_tokens=args.max_new_tokens,
-                         temperature=args.temperature) for s in prompts],
+                         temperature=args.temperature, top_k=args.top_k,
+                         top_p=args.top_p) for s in prompts],
                    chunked=not args.no_chunked)
     dt = time.time() - t0
     total_toks = sum(len(r.generated) for r in reqs)

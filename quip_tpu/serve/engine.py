@@ -10,7 +10,7 @@ module is the real thing, TPU-first:
   * jitted prefill (full-sequence, fills a slot's cache) and jitted batched
     decode step (one token for every active slot).
   * per-slot positions/lengths as device arrays; sampling = greedy /
-    temperature / top-k, PRNG-keyed.
+    temperature / top-k / top-p (nucleus), PRNG-keyed.
   * works for dense bf16 and packed-2/3/4-bit param trees alike (the model
     dispatches per leaf); mesh sharding via parallel/mesh.py.
 """
@@ -35,6 +35,7 @@ class Request:
     max_new_tokens: int = 32
     temperature: float = 0.0           # 0 => greedy
     top_k: int = 0                     # 0 => full
+    top_p: float = 1.0                 # 1 => no nucleus filter
     # filled during generation
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -187,22 +188,46 @@ def _attn_steps(p, x, cfg, positions, mask, arena_l, lengths,
     return out, (knew, vnew, ks_new, vs_new)
 
 
-def _sample(key, logits, temperature, top_k: int = 0):
-    """Greedy / temperature / top-k sampling, vectorized over slots.
+def _filtered_logits(logits, temperature, top_k: int = 0, top_p=None):
+    """Temperature-scale then mask logits to the top-k / nucleus support.
 
-    temperature: (B,) per-slot; <= 0 means greedy for that slot.
+    temperature: (B,) per-slot (clamped > 0 here; greedy is handled by the
+    caller). top_k is static (0 = full vocab); top_p is a per-slot (B,)
+    array in (0, 1] or None (1.0 / None = no nucleus filter). Follows the
+    standard order: scale -> top-k -> top-p. Ties at the nucleus boundary
+    are all kept (the usual convention).
+    """
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32).reshape(-1),
+                    1e-6)[:, None]
+    x = logits.astype(jnp.float32) / t
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    if top_k > 0:
+        kth = lax.top_k(x, top_k)[0][..., -1]
+        x = jnp.where(x >= kth[:, None], x, neg)
+    if top_p is not None:
+        top_p = jnp.asarray(top_p, jnp.float32).reshape(-1)
+        probs = jax.nn.softmax(x, axis=-1)
+        sp = jnp.sort(probs, axis=-1)[..., ::-1]          # descending
+        cs = jnp.cumsum(sp, axis=-1)
+        # keep the minimal prefix whose mass reaches top_p: sorted token j
+        # stays iff the mass strictly before it is < top_p
+        keep = (cs - sp) < top_p[:, None]
+        thr = jnp.min(jnp.where(keep, sp, jnp.inf), axis=-1)
+        x = jnp.where(probs >= thr[:, None], x, neg)
+    return x
+
+
+def _sample(key, logits, temperature, top_k: int = 0, top_p=None):
+    """Greedy / temperature / top-k / top-p sampling, vectorized over slots.
+
+    temperature: (B,) per-slot; <= 0 means greedy for that slot. top_p:
+    per-slot (B,) nucleus mass or None (no filter).
     """
     temperature = jnp.asarray(temperature, jnp.float32).reshape(-1)
     greedy = jnp.argmax(logits, axis=-1)
-    t = jnp.maximum(temperature, 1e-6)[:, None]
-    if top_k > 0:
-        vals, idxs = lax.top_k(logits, top_k)
-        gumbel = jax.random.gumbel(key, vals.shape)
-        choice = jnp.argmax(vals / t + gumbel, axis=-1)
-        sampled = jnp.take_along_axis(idxs, choice[:, None], 1)[:, 0]
-    else:
-        gumbel = jax.random.gumbel(key, logits.shape)
-        sampled = jnp.argmax(logits / t + gumbel, axis=-1)
+    x = _filtered_logits(logits, temperature, top_k, top_p)
+    gumbel = jax.random.gumbel(key, x.shape)
+    sampled = jnp.argmax(x + gumbel, axis=-1)
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
@@ -223,10 +248,12 @@ class Engine:
         the frozen-arena read-page size.
 
         draft=(draft_params, draft_cfg) enables SPECULATIVE continuous
-        batching (greedy requests only): each step drafts spec_k tokens
-        and verifies them in one target append — up to spec_k tokens per
-        slot per step (serve/speculative.py; emitted streams are exactly
-        the target's greedy decoding). Implies paged=True."""
+        batching: each step drafts spec_k tokens and verifies them in one
+        target append — up to spec_k tokens per slot per step
+        (serve/speculative.py). Greedy requests emit exactly the target's
+        greedy decoding; sampling requests (temperature/top-k/top-p) go
+        through rejection sampling and are distributed exactly as
+        target-only sampling. Implies paged=True."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -249,7 +276,8 @@ class Engine:
             self._init_spec(draft, spec_k, cache_dtype, kv_quant)
 
     def _init_spec(self, draft, spec_k, cache_dtype, kv_quant):
-        from quip_tpu.serve.speculative import spec_decode_step
+        from quip_tpu.serve.speculative import (spec_decode_step,
+                                                spec_sample_step)
         PG = self._PG
         self.draft_params, self.draft_cfg = draft
         self.spec_k = spec_k
@@ -261,6 +289,13 @@ class Engine:
         self._spec_step = jax.jit(
             lambda dp, tp, tok, dc, tc: spec_decode_step(
                 dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k, page=page))
+        # stochastic variant (rejection sampling): used whenever any
+        # active slot asks for temperature/top-k/top-p; greedy slots in
+        # the same batch keep exact one-hot semantics
+        self._spec_sample_step = jax.jit(
+            lambda dp, tp, tok, dc, tc, key, temps, tks, tps:
+            spec_sample_step(dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k,
+                             key, temps, tks, tps, page=page))
         self._prefill_draft = jax.jit(
             lambda p, t, pl, c, s: PG.paged_prefill_slot(p, t, pl, c, s,
                                                          cfg_d),
@@ -288,13 +323,14 @@ class Engine:
         # through the relayed backend (scan carries copy the cache there) —
         # see docs/PERF.md and Engine.run(chunked=...).
         def decode_chunk(params, tokens, lengths, arena, key, temps,
-                         n_steps, top_k):
+                         top_ps, n_steps, top_k):
             def body(carry, _):
                 tokens, lengths, arena, key = carry
                 logits, arena = _slot_attention_step(params, cfg, tokens,
                                                      lengths, arena)
                 key, sk = jax.random.split(key)
-                tok = _sample(sk, logits, temps, top_k).astype(jnp.int32)
+                tok = _sample(sk, logits, temps, top_k,
+                              top_ps).astype(jnp.int32)
                 return (tok[:, None], lengths + 1, arena, key), tok
 
             (tokens, lengths, arena, key), toks = lax.scan(
@@ -386,13 +422,14 @@ class Engine:
         # hot ring (O(hot) per iteration), unlike the arena decode_chunk
         # whose carries copy the whole cache on no-donation runtimes
         def decode_chunk_paged(params, tokens, caches, key, temps,
-                               n_steps, top_k):
+                               top_ps, n_steps, top_k):
             def body(carry, _):
                 tok, hot_s, key = carry
                 logits, hot_s = PG.paged_decode_step(
                     params, tok, PG.advance(caches, hot_s), cfg, page=page)
                 key, sk = jax.random.split(key)
-                t = _sample(sk, logits, temps, top_k).astype(jnp.int32)
+                t = _sample(sk, logits, temps, top_k,
+                            top_ps).astype(jnp.int32)
                 return (t[:, None], hot_s, key), t
 
             hot0 = PG.Hot(caches.hot_k, caches.hot_v, caches.hot_len,
@@ -435,7 +472,7 @@ class Engine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt, max_new_tokens=32, temperature=0.0,
-               top_k=0) -> int:
+               top_k=0, top_p=1.0) -> int:
         prompt = np.asarray(prompt, np.int32)
         if prompt.size == 0:
             raise ValueError("empty prompt")
@@ -443,11 +480,10 @@ class Engine:
             raise ValueError(
                 f"prompt length {prompt.size} >= max_seq-1 "
                 f"({self.max_seq - 1}); raise max_seq or truncate")
-        if self.spec and (temperature > 0 or top_k):
-            raise ValueError("speculative engine is greedy-only "
-                             "(temperature=0, top_k=0)")
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         req = Request(self._uid, prompt,
-                      max_new_tokens, temperature, top_k)
+                      max_new_tokens, temperature, top_k, top_p)
         self._uid += 1
         self._queue.append(req)
         return req.uid
@@ -488,9 +524,11 @@ class Engine:
                     self.kv.lengths = self.kv.lengths.at[i].set(plen)
                 # first generated token comes from the prefill logits
                 self.key, sk = jax.random.split(self.key)
+                tp = (jnp.asarray([req.top_p]) if req.top_p < 1.0
+                      else None)
                 tok = int(_sample(sk, logits,
                                   jnp.asarray([req.temperature]),
-                                  req.top_k)[0])
+                                  req.top_k, tp)[0])
                 req.generated.append(tok)
 
     def _step_spec(self) -> None:
@@ -503,11 +541,27 @@ class Engine:
         if int(self._hotlen.max()) + self.spec_k > self.hot:
             self._flush_now()
         last = np.zeros((self.max_batch, 1), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
+        tks = np.zeros((self.max_batch,), np.int32)
+        tps = np.ones((self.max_batch,), np.float32)
         for i in active:
             last[i, 0] = self._slots[i].generated[-1]
-        emitted, n_emit, d_hot, t_hot = self._spec_step(
-            self.draft_params, self.params, jnp.asarray(last),
-            self._sync_dkv(), self._sync_pkv())
+            temps[i] = self._slots[i].temperature
+            tks[i] = self._slots[i].top_k
+            tps[i] = self._slots[i].top_p
+        sampling = (temps > 0).any()
+        if sampling:
+            self.key, sk = jax.random.split(self.key)
+            emitted, n_emit, d_hot, t_hot = self._spec_sample_step(
+                self.draft_params, self.params, jnp.asarray(last),
+                self._sync_dkv(), self._sync_pkv(), sk,
+                jnp.asarray(temps),
+                jnp.asarray(tks) if tks.any() else None,
+                jnp.asarray(tps) if (tps < 1.0).any() else None)
+        else:
+            emitted, n_emit, d_hot, t_hot = self._spec_step(
+                self.draft_params, self.params, jnp.asarray(last),
+                self._sync_dkv(), self._sync_pkv())
         self.dkv = self._PG.advance(self.dkv, d_hot)
         self.pkv = self._PG.advance(self.pkv, t_hot)
         em = np.asarray(emitted)
@@ -552,17 +606,22 @@ class Engine:
             self._set_arena(arena)
         self.key, sk = jax.random.split(self.key)
         temps = np.zeros((self.max_batch,), np.float32)
+        tops = np.ones((self.max_batch,), np.float32)
         for i in active:
             temps[i] = self._slots[i].temperature
-        # per-slot top_k: sample per distinct k (slot counts are small)
+            tops[i] = self._slots[i].top_p
+        # per-slot top_k: sample per distinct k (slot counts are small);
+        # top_p is a traced per-slot array, no regrouping needed
         ks = sorted({self._slots[i].top_k for i in active})
         toks = np.zeros((self.max_batch,), np.int64)
         for kval in ks:
             rows = [i for i in active if self._slots[i].top_k == kval]
+            tp = (jnp.asarray(tops[np.asarray(rows)])
+                  if any(tops[r] < 1.0 for r in rows) else None)
             sub = _sample(jax.random.fold_in(sk, kval),
                           logits[np.asarray(rows)],
                           jnp.asarray(temps[np.asarray(rows)]),
-                          top_k=kval)
+                          top_k=kval, top_p=tp)
             for r, t in zip(rows, np.asarray(sub)):
                 toks[r] = t
         newlen = self._lengths()             # mutable host copy
@@ -623,20 +682,23 @@ class Engine:
         top_k = ks.pop()
         last = np.zeros((self.max_batch, 1), np.int32)
         temps = np.zeros((self.max_batch,), np.float32)
+        tops = np.ones((self.max_batch,), np.float32)
         for i in active:
             last[i, 0] = self._slots[i].generated[-1]
             temps[i] = self._slots[i].temperature
+            tops[i] = self._slots[i].top_p
+        top_ps = jnp.asarray(tops) if (tops < 1.0).any() else None
         self.key, sk = jax.random.split(self.key)
         if self.paged:
             caches = self._sync_pkv()
             toks, hot_s = self._decode_chunk_paged(
                 self.params, jnp.asarray(last), caches, sk,
-                jnp.asarray(temps), n_steps=T, top_k=top_k)
+                jnp.asarray(temps), top_ps, n_steps=T, top_k=top_k)
             self.pkv = self._PG.advance(caches, hot_s)
         else:
             toks, arena = self._decode_chunk(
                 self.params, jnp.asarray(last), self.kv.lengths,
-                self._arena(), sk, jnp.asarray(temps), n_steps=T,
+                self._arena(), sk, jnp.asarray(temps), top_ps, n_steps=T,
                 top_k=top_k)
             self._set_arena(arena)
         toks = np.asarray(toks)                     # (B, T)
@@ -680,10 +742,11 @@ class Engine:
                 self.step()
         return [all_reqs[uid] for uid in uids]
 
-    def stream(self, prompt, max_new_tokens=64, temperature=0.0, top_k=0):
+    def stream(self, prompt, max_new_tokens=64, temperature=0.0, top_k=0,
+               top_p=1.0):
         """Generator interface: yields tokens as they are produced (other
         queued/active requests keep decoding in the same steps)."""
-        uid = self.submit(prompt, max_new_tokens, temperature, top_k)
+        uid = self.submit(prompt, max_new_tokens, temperature, top_k, top_p)
         req = next(r for r in self._queue if r.uid == uid)
         emitted = 0
         while not req.done:

@@ -162,3 +162,156 @@ class SpecDecoder:
                 break
         return ([o[:max_new_tokens + 1] for o in out],
                 float(np.mean(accept_hist)) if accept_hist else 0.0)
+
+
+# -- stochastic speculative decoding (rejection sampling) --------------------
+#
+# Full Leviathan et al. 2211.17192 algorithm: the draft SAMPLES K tokens
+# from its own (temperature/top-k/top-p filtered) distribution q; the
+# target scores the window once; draft token d_{j+1} is accepted with
+# probability min(1, p_j(d_{j+1})/q_j(d_{j+1})) and the first rejection is
+# replaced by a sample from the residual norm(max(p - q, 0)). The emitted
+# stream is distributed EXACTLY as target-only sampling with the same
+# filters (property-tested in tests/test_speculative.py). Greedy
+# (temperature <= 0) slots degrade to exact one-hot distributions, so a
+# batch can mix greedy and sampling requests in one compiled step.
+
+
+def spec_dist(logits, temps, top_ks=None, top_ps=None):
+    """Per-slot sampling distribution as explicit probabilities (B, V).
+
+    temps (B,): <= 0 means exact one-hot greedy for that slot.
+    top_ks (B,) int32: DYNAMIC per-slot top-k (0 = full vocab) — unlike
+    engine._filtered_logits's static k, the cutoff is a per-slot gather
+    from the sorted row so mixed-k batches compile once.
+    top_ps (B,): nucleus mass (1.0 = no filter).
+    Filtering order matches engine._sample: scale -> top-k -> top-p.
+    """
+    B, V = logits.shape
+    temps = jnp.asarray(temps, jnp.float32).reshape(-1)
+    greedy = jax.nn.one_hot(jnp.argmax(logits, -1), V, dtype=jnp.float32)
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    x = logits.astype(jnp.float32) / t
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    if top_ks is not None:
+        top_ks = jnp.asarray(top_ks, jnp.int32).reshape(-1)
+        sx = jnp.sort(x, axis=-1)[:, ::-1]
+        k = jnp.clip(jnp.where(top_ks <= 0, V, top_ks), 1, V)
+        kth = jnp.take_along_axis(sx, (k - 1)[:, None], axis=1)[:, 0]
+        x = jnp.where(x >= kth[:, None], x, neg)
+    if top_ps is not None:
+        top_ps = jnp.asarray(top_ps, jnp.float32).reshape(-1)
+        probs = jax.nn.softmax(x, axis=-1)
+        sp = jnp.sort(probs, axis=-1)[:, ::-1]
+        cs = jnp.cumsum(sp, axis=-1)
+        keep = (cs - sp) < top_ps[:, None]
+        thr = jnp.min(jnp.where(keep, sp, jnp.inf), axis=-1)
+        x = jnp.where(probs >= thr[:, None], x, neg)
+    dist = jax.nn.softmax(x, axis=-1)
+    return jnp.where(temps[:, None] <= 0.0, greedy, dist)
+
+
+def spec_accept(key, drafts, q, p):
+    """Rejection-sample a drafted window against the target.
+
+    drafts (B, K): d_1..d_K, with d_{j+1} sampled from q_j.
+    q, p (B, K, V): draft / target distributions; p_j is the target's
+    distribution after prefix (..., t0, d_1..d_j) — positions line up with
+    the multi-token verify append.
+
+    Accepts the longest prefix with u_j < p_j(d_{j+1})/q_j(d_{j+1})
+    (j = 0..K-2); the correction token is drawn from norm(max(p_n - q_n, 0))
+    after a rejection at position n, or from p_{K-1} when every comparable
+    draft was accepted. Returns (emitted (B, K), n_emit (B,) in [1, K]);
+    emitted rows past n_emit are zero padding. The marginal law of the
+    emitted stream equals target-only sampling (Leviathan et al., Thm 3.5).
+    """
+    B, K, V = q.shape
+    uk, rk = jax.random.split(key)
+    if K > 1:
+        d = drafts[:, : K - 1]
+        qd = jnp.take_along_axis(q[:, : K - 1], d[..., None], 2)[..., 0]
+        pd = jnp.take_along_axis(p[:, : K - 1], d[..., None], 2)[..., 0]
+        r = jnp.where(qd > 0, pd / jnp.maximum(qd, 1e-30), 0.0)
+        u = jax.random.uniform(uk, (B, K - 1))
+        acc = (u < r).astype(jnp.int32)
+        n = jnp.sum(jnp.cumprod(acc, axis=1), axis=1).astype(jnp.int32)
+    else:
+        n = jnp.zeros((B,), jnp.int32)
+    p_n = jnp.take_along_axis(p, n[:, None, None], 1)[:, 0]      # (B, V)
+    q_n = jnp.take_along_axis(q, n[:, None, None], 1)[:, 0]
+    res = jnp.maximum(p_n - q_n, 0.0)
+    res = jnp.where((n == K - 1)[:, None], p_n, res)
+    tot = jnp.sum(res, axis=-1, keepdims=True)
+    # numerically-empty residual (p ~= q): fall back to p_n — correct in
+    # the limit, since rejection there has probability ~0
+    res = jnp.where(tot > 0, res / jnp.maximum(tot, 1e-30), p_n)
+    corr = jax.random.categorical(
+        rk, jnp.log(jnp.maximum(res, 1e-38)), axis=-1).astype(jnp.int32)
+    idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    emitted = jnp.where(idx < n[:, None], drafts,
+                        jnp.where(idx == n[:, None], corr[:, None], 0))
+    return emitted, n + 1
+
+
+def spec_sample_step(draft_params, target_params, tokens: jax.Array,
+                     dcaches: PG.PagedKV, tcaches: PG.PagedKV,
+                     cfg_d: ModelConfig, cfg_t: ModelConfig, K: int,
+                     key, temps, top_ks=None, top_ps=None, *,
+                     page: int = 64
+                     ) -> Tuple[jax.Array, jax.Array, PG.Hot, PG.Hot]:
+    """One stochastic speculative iteration (jittable; K static).
+
+    Same cache contract as spec_decode_step; additionally takes a PRNG key
+    and per-slot sampling params (temps/top_ks/top_ps, each (B,) or None).
+    Greedy slots (temps <= 0) behave exactly like spec_decode_step.
+    """
+    key, dk, ak = jax.random.split(key, 3)
+
+    def draft_body(carry, sk):
+        tok, hot = carry
+        logits, hot = PG.paged_decode_step(
+            draft_params, tok, PG.advance(dcaches, hot), cfg_d, page=page)
+        qd = spec_dist(logits, temps, top_ks, top_ps)
+        nxt = jax.random.categorical(
+            sk, jnp.log(jnp.maximum(qd, 1e-38)), axis=-1)
+        nxt = nxt.astype(jnp.int32)[:, None]
+        return (nxt, hot), (nxt[:, 0], qd)
+
+    d_hot0 = PG.Hot(dcaches.hot_k, dcaches.hot_v, dcaches.hot_len,
+                    dcaches.hot_ks, dcaches.hot_vs)
+    (_, d_hot), (drafts, qs) = lax.scan(draft_body, (tokens, d_hot0),
+                                        jax.random.split(dk, K))
+    drafts = drafts.T                              # (B, K)
+    q = jnp.transpose(qs, (1, 0, 2))               # (B, K, V)
+
+    window = jnp.concatenate([tokens, drafts[:, : K - 1]], axis=1)
+    t_logits, t_hot = PG.paged_append_step(target_params, window, tcaches,
+                                           cfg_t, page=page)
+    p = jax.vmap(lambda lg: spec_dist(lg, temps, top_ks, top_ps),
+                 in_axes=1, out_axes=1)(t_logits)  # (B, K, V)
+    emitted, n_emit = spec_accept(ak, drafts, q, p)
+    d_hot = d_hot._replace(length=dcaches.hot_len + n_emit)
+    t_hot = t_hot._replace(length=tcaches.hot_len + n_emit)
+    return emitted, n_emit, d_hot, t_hot
+
+
+def make_self_draft(params, cfg: ModelConfig, n_layers: int):
+    """Layer-skip self-draft: the target's own first ``n_layers`` blocks.
+
+    Returns (draft_params, draft_cfg) sharing every array with the target
+    (embeddings, head, final norm; block stack sliced along the scan axis)
+    — zero extra weight memory. docs/PERF.md's sweep found shallow
+    same-width drafts the right shape on this hardware: a 4-of-32-layer 7B
+    self-draft verifies at ~10.5 ms/step (break-even 1.7 accepted/step).
+    Acceptance quality is the early-exit approximation's; exactness of the
+    emitted stream is guaranteed by verification regardless.
+    """
+    import dataclasses as _dc
+    if not 0 < n_layers <= cfg.n_layers:
+        raise ValueError(f"n_layers must be in [1, {cfg.n_layers}], "
+                         f"got {n_layers}")
+    draft_params = dict(params)
+    draft_params["blocks"] = jax.tree_util.tree_map(
+        lambda x: x[:n_layers], params["blocks"])
+    return draft_params, _dc.replace(cfg, n_layers=n_layers)

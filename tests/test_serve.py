@@ -526,9 +526,83 @@ def test_engine_speculative_perfect_draft(tiny_model):
     assert req.generated[:10] == want
 
 
-def test_engine_speculative_rejects_sampling(tiny_model):
+def test_engine_speculative_accepts_sampling(tiny_model):
+    """Spec engines serve sampling requests via rejection sampling
+    (stochastic tests live in tests/test_speculative.py)."""
     cfg, params = tiny_model
     eng = Engine(params, cfg, max_batch=1, max_seq=32, paged=True, hot=8,
                  page=8, draft=(params, cfg), spec_k=2)
-    with pytest.raises(ValueError, match="greedy-only"):
-        eng.submit([1, 2], temperature=0.7)
+    [req] = eng.run([dict(prompt=[1, 2], max_new_tokens=6,
+                          temperature=0.8, top_k=4)])
+    assert len(req.generated) >= 6
+
+
+def test_nucleus_sampling_support():
+    """top_p masks sampling to the smallest prefix reaching the mass."""
+    from quip_tpu.serve.engine import _sample
+    probs = np.array([0.5, 0.3, 0.15, 0.05])
+    logits = jnp.log(jnp.asarray(probs, jnp.float32))[None, :]
+    # top_p = 0.8: mass before idx2 is exactly 0.8 -> support {0, 1}
+    seen = set()
+    for s in range(200):
+        tok = _sample(jax.random.key(s), logits, jnp.asarray([1.0]),
+                      top_p=jnp.asarray([0.8]))
+        seen.add(int(tok[0]))
+    assert seen == {0, 1}, seen
+    # top_p = 1.0 (or None): full support reachable
+    seen = set()
+    for s in range(400):
+        tok = _sample(jax.random.key(s), logits, jnp.asarray([1.0]),
+                      top_p=jnp.asarray([1.0]))
+        seen.add(int(tok[0]))
+    assert seen == {0, 1, 2, 3}, seen
+    # tiny top_p = argmax regardless of temperature
+    for s in range(20):
+        tok = _sample(jax.random.key(s), logits, jnp.asarray([5.0]),
+                      top_p=jnp.asarray([0.05]))
+        assert int(tok[0]) == 0
+    # per-slot: one greedy row, one nucleus row, one full row in a batch
+    batch = jnp.concatenate([logits] * 3, 0)
+    tok = _sample(jax.random.key(0), batch, jnp.asarray([0.0, 1.0, 1.0]),
+                  top_p=jnp.asarray([1.0, 0.5, 1.0]))
+    assert int(tok[0]) == 0 and int(tok[1]) == 0
+
+
+def test_nucleus_composes_with_top_k():
+    from quip_tpu.serve.engine import _sample
+    probs = np.array([0.4, 0.3, 0.2, 0.1])
+    logits = jnp.log(jnp.asarray(probs, jnp.float32))[None, :]
+    # top_k=3 keeps {0,1,2}; renormalized probs (0.44,0.33,0.22);
+    # top_p=0.5 then keeps {0,1}
+    seen = set()
+    for s in range(300):
+        tok = _sample(jax.random.key(s), logits, jnp.asarray([1.0]),
+                      top_k=3, top_p=jnp.asarray([0.5]))
+        seen.add(int(tok[0]))
+    assert seen == {0, 1}, seen
+
+
+def test_engine_top_p_run_reproducible(tiny_model):
+    cfg, params = tiny_model
+    a = Engine(params, cfg, max_batch=2, max_seq=64, seed=3)
+    b = Engine(params, cfg, max_batch=2, max_seq=64, seed=3)
+    reqs = [dict(prompt=[3, 1], max_new_tokens=5, temperature=0.9,
+                 top_p=0.9),
+            dict(prompt=[2, 4], max_new_tokens=5)]
+    ra = a.run(reqs)
+    rb = b.run(reqs)
+    assert [r.generated for r in ra] == [r.generated for r in rb]
+    # greedy slot unaffected by the nucleus slot sharing its batch
+    want = _greedy_reference(params, cfg, [2, 4], 5)
+    assert ra[1].generated[:5] == want
+
+
+def test_engine_top_p_chunked(tiny_model):
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True, hot=8,
+                 page=8, seed=5)
+    reqs = eng.run([dict(prompt=[1, 2], max_new_tokens=8, temperature=1.0,
+                         top_p=0.7)], chunked=True)
+    assert len(reqs[0].generated) >= 8
+    with pytest.raises(ValueError, match="top_p"):
+        eng.submit([1], top_p=0.0)
