@@ -296,6 +296,15 @@ class Engine:
             lambda dp, tp, tok, dc, tc, key, temps, tks, tps:
             spec_sample_step(dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k,
                              key, temps, tks, tps, page=page))
+        # chunked: S spec iterations (up to S*spec_k tokens/slot) per
+        # dispatch — pays the relay host read once per chunk
+        from quip_tpu.serve.speculative import spec_decode_chunk
+        self._spec_chunk = jax.jit(
+            lambda dp, tp, tok, dc, tc, key, temps, tks, tps, S:
+            spec_decode_chunk(dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k,
+                              S, page=page, key=key, temps=temps,
+                              top_ks=tks, top_ps=tps),
+            static_argnames=("S",))
         self._prefill_draft = jax.jit(
             lambda p, t, pl, c, s: PG.paged_prefill_slot(p, t, pl, c, s,
                                                          cfg_d),
@@ -644,14 +653,80 @@ class Engine:
         else:
             self.kv.lengths = jnp.asarray(newlen)
 
+    def _step_spec_chunk(self, max_chunk: int) -> int:
+        """S speculative iterations in one dispatch (spec_decode_chunk):
+        up to S*spec_k tokens per slot per host read."""
+        self._admit()
+        active = [i for i, r in enumerate(self._slots) if r is not None]
+        if not active:
+            return 0
+        room = self.hot - int(self._hotlen.max())
+        if room < 2 * self.spec_k:
+            self._flush_now()
+            room = self.hot
+        lens = self._lengths()
+        remaining = min(
+            min(self._slots[i].max_new_tokens + 1
+                - len(self._slots[i].generated) for i in active),
+            min(self.max_seq - 1 - int(lens[i]) for i in active))
+        s_cap = min(room // self.spec_k,
+                    max(1, max_chunk // self.spec_k),
+                    max(1, -(-remaining // self.spec_k)))
+        S = 1
+        while S * 2 <= s_cap:
+            S *= 2
+        if S < 2:
+            self.step()
+            return self.spec_k
+        last = np.zeros((self.max_batch, 1), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
+        tks = np.zeros((self.max_batch,), np.int32)
+        tps = np.ones((self.max_batch,), np.float32)
+        for i in active:
+            last[i, 0] = self._slots[i].generated[-1]
+            temps[i] = self._slots[i].temperature
+            tks[i] = self._slots[i].top_k
+            tps[i] = self._slots[i].top_p
+        self.key, sk = jax.random.split(self.key)
+        sampling = (temps > 0).any()
+        ems, nes, d_hot, t_hot = self._spec_chunk(
+            self.draft_params, self.params, jnp.asarray(last),
+            self._sync_dkv(), self._sync_pkv(), sk,
+            jnp.asarray(temps) if sampling else None,
+            jnp.asarray(tks) if sampling and tks.any() else None,
+            jnp.asarray(tps) if sampling and (tps < 1.0).any() else None,
+            S=S)
+        self.dkv = self._PG.advance(self.dkv, d_hot)
+        self.pkv = self._PG.advance(self.pkv, t_hot)
+        em = np.asarray(ems)
+        ne = np.asarray(nes)
+        for i in active:
+            req = self._slots[i]
+            toks: List[int] = []
+            for s in range(S):
+                toks.extend(int(t) for t in em[i, s, : ne[i, s]])
+            # truncating to the budget keeps cursors exact: rows past the
+            # (host-authoritative) hot_len are dead
+            take = min(len(toks),
+                       req.max_new_tokens + 1 - len(req.generated))
+            req.generated.extend(toks[:take])
+            self._hotlen[i] += take
+            length = self._base[i] + self._hotlen[i]
+            if (len(req.generated) >= req.max_new_tokens + 1
+                    or length >= self.max_seq - 1):
+                req.done = True
+                self._slots[i] = None
+                self._base[i] = 0
+                self._hotlen[i] = 0
+        return S * self.spec_k
+
     def step_chunk(self, max_chunk: int = 16) -> int:
         """Decode up to `max_chunk` tokens for all active slots in ONE
         dispatch (lax.scan inside the jit — see decode_chunk). Falls back to
         single `step()` when slots disagree on top_k or a slot would finish
         mid-chunk. Returns the number of tokens decoded per slot."""
-        if self.spec:           # spec steps are already multi-token
-            self.step()
-            return self.spec_k
+        if self.spec:           # chunk whole draft+verify iterations
+            return self._step_spec_chunk(max_chunk)
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:

@@ -315,3 +315,51 @@ def make_self_draft(params, cfg: ModelConfig, n_layers: int):
     draft_params["blocks"] = jax.tree_util.tree_map(
         lambda x: x[:n_layers], params["blocks"])
     return draft_params, _dc.replace(cfg, n_layers=n_layers)
+
+
+def spec_decode_chunk(draft_params, target_params, tokens: jax.Array,
+                      dcaches: PG.PagedKV, tcaches: PG.PagedKV,
+                      cfg_d: ModelConfig, cfg_t: ModelConfig, K: int,
+                      S: int, *, page: int = 64, key=None, temps=None,
+                      top_ks=None, top_ps=None):
+    """S speculative iterations in ONE dispatch (jittable; K, S static).
+
+    Emits up to S*K tokens per slot per dispatch while paying the host
+    read once — the speculative analog of the engine's chunked decode,
+    which is the dominant serving lever through a relayed backend
+    (docs/PERF.md: chunking amortizes a ~25 ms host read per step).
+    Callers must guarantee S*K rows of hot-ring room (flush first).
+
+    temps=None runs the greedy-exact step; otherwise the stochastic
+    rejection-sampling step with per-slot temps/top_ks/top_ps (greedy
+    slots still exact via one-hot distributions).
+
+    Returns (emitted (B, S, K), n_emit (B, S), draft Hot, target Hot);
+    per iteration s, row positions >= n_emit[:, s] are padding.
+    """
+    B = tokens.shape[0]
+    d_hot0 = PG.Hot(dcaches.hot_k, dcaches.hot_v, dcaches.hot_len,
+                    dcaches.hot_ks, dcaches.hot_vs)
+    t_hot0 = PG.Hot(tcaches.hot_k, tcaches.hot_v, tcaches.hot_len,
+                    tcaches.hot_ks, tcaches.hot_vs)
+
+    def body(carry, sk):
+        tok, d_hot, t_hot = carry
+        dc = PG.advance(dcaches, d_hot)
+        tc = PG.advance(tcaches, t_hot)
+        if temps is None:
+            em, ne, d_hot, t_hot = spec_decode_step(
+                draft_params, target_params, tok, dc, tc, cfg_d, cfg_t, K,
+                page=page)
+        else:
+            em, ne, d_hot, t_hot = spec_sample_step(
+                draft_params, target_params, tok, dc, tc, cfg_d, cfg_t, K,
+                sk, temps, top_ks, top_ps, page=page)
+        tok = jnp.take_along_axis(em, (ne - 1)[:, None], axis=1)
+        return (tok, d_hot, t_hot), (em, ne)
+
+    xs = (jax.random.split(key, S) if temps is not None
+          else jnp.zeros((S,), jnp.int32))
+    (_, d_hot, t_hot), (ems, nes) = lax.scan(body, (tokens, d_hot0, t_hot0),
+                                             xs)
+    return (jnp.transpose(ems, (1, 0, 2)), nes.T, d_hot, t_hot)

@@ -211,3 +211,86 @@ def test_make_self_draft():
     [req] = eng.run([dict(prompt=[4, 2, 0], max_new_tokens=10)])
     want = _greedy_reference(params, cfg, [4, 2, 0], 10)
     assert req.generated[:10] == want
+
+
+# -- chunked speculative decoding --------------------------------------------
+
+def test_spec_decode_chunk_equals_sequential_steps():
+    """One S-iteration chunk emits exactly what S sequential
+    spec_decode_step calls emit (greedy, same caches)."""
+    from quip_tpu.models import paged as PG
+    from quip_tpu.serve.speculative import (spec_decode_chunk,
+                                            spec_decode_step)
+    cfg = get_config("opt-tiny")
+    target = M.init_params(jax.random.key(0), cfg)
+    draft = M.init_params(jax.random.key(1), cfg)
+    prompt = jnp.asarray([[5, 2, 9, 1]], jnp.int32)
+    plen = jnp.asarray([4], jnp.int32)
+    K, S = 2, 3
+    dc = PG.init_paged(1, 64, cfg, dtype=jnp.float32, hot=16, page=8)
+    tc = PG.init_paged(1, 64, cfg, dtype=jnp.float32, hot=16, page=8)
+    _, dc = PG.paged_prefill(draft, prompt, plen, dc, cfg)
+    lg, tc = PG.paged_prefill(target, prompt, plen, tc, cfg)
+    tok = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
+
+    ems, nes, dh, th = spec_decode_chunk(draft, target, tok, dc, tc, cfg,
+                                         cfg, K, S, page=8)
+    chunk_stream = []
+    for s in range(S):
+        n = int(nes[0, s])
+        chunk_stream += list(np.asarray(ems[0, s, :n]))
+
+    seq_stream = []
+    t = tok
+    dcs, tcs = dc, tc
+    for _ in range(S):
+        em, ne, d_hot, t_hot = spec_decode_step(draft, target, t, dcs, tcs,
+                                                cfg, cfg, K, page=8)
+        n = int(ne[0])
+        seq_stream += list(np.asarray(em[0, :n]))
+        t = em[:, n - 1:n]
+        dcs = PG.advance(dcs, d_hot)
+        tcs = PG.advance(tcs, t_hot)
+    assert chunk_stream == seq_stream, (chunk_stream, seq_stream)
+    assert int(dh.length[0]) == int(dcs.hot_len[0])
+    assert int(th.length[0]) == int(tcs.hot_len[0])
+
+
+def test_engine_spec_chunked_greedy_parity():
+    """Chunked spec engine (run(chunked=True)) emits the exact greedy
+    stream across a request mix larger than the slot table."""
+    from quip_tpu.serve.engine import Engine
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    draft = M.init_params(jax.random.key(4), cfg)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10], [11, 12]]
+    budgets = [9, 4, 13, 3, 6]
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True,
+                 hot=16, page=8, draft=(draft, cfg), spec_k=2)
+    got = eng.run([dict(prompt=p, max_new_tokens=n)
+                   for p, n in zip(prompts, budgets)], chunked=True)
+    for p, r, n in zip(prompts, got, budgets):
+        want = _greedy_reference(params, cfg, p, n)
+        assert r.generated[:n] == want, (p, r.generated, want)
+
+
+def test_engine_spec_chunked_sampling():
+    """Chunked stochastic spec: reproducible by seed; greedy slot exact."""
+    from quip_tpu.serve.engine import Engine
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    draft = M.init_params(jax.random.key(4), cfg)
+    reqs = [dict(prompt=[1, 2, 3], max_new_tokens=10, temperature=0.8,
+                 top_p=0.95),
+            dict(prompt=[7, 8], max_new_tokens=10)]
+
+    def run(seed):
+        eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True,
+                     hot=16, page=8, draft=(draft, cfg), spec_k=2,
+                     seed=seed)
+        return [r.generated for r in eng.run(reqs, chunked=True)]
+
+    a, b = run(5), run(5)
+    assert a == b
+    want = _greedy_reference(params, cfg, [7, 8], 10)
+    assert a[1][:10] == want
