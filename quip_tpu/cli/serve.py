@@ -34,6 +34,19 @@ def main(argv=None):
                         "model (its config comes from the checkpoint meta)")
     p.add_argument("--spec_k", type=int, default=4,
                    help="draft window length per speculative step")
+    p.add_argument("--stop_token", type=int, action="append", default=None,
+                   help="stop generation at this token id (repeatable; "
+                        "the stop token is included in the output)")
+    p.add_argument("--stop_eos", action="store_true",
+                   help="stop at the tokenizer's EOS token")
+    p.add_argument("--system_prompt", type=str, default=None,
+                   help="shared-prefix caching: this text's KV is computed "
+                        "once and attended by every request (per-request "
+                        "opt-out via the HTTP API's use_prefix=false)")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve an HTTP JSON API (GET /health, "
+                        "POST /generate) instead of batch prompts")
+    p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--prompt", type=str, action="append", default=None,
                    help="prompt(s); '-' reads one prompt per stdin line")
     p.add_argument("--tp", type=int, default=1,
@@ -96,16 +109,40 @@ def main(argv=None):
         dparams, dmeta = load_checkpoint(args.spec_draft)
         draft = (dparams, get_config(dmeta["model"]))
 
+    prefix = (tokenizer.encode(args.system_prompt)
+              if args.system_prompt else None)
     eng = Engine(params, cfg, max_batch=args.max_batch,
                  max_seq=args.max_seq, kv_quant=args.kv_quant,
                  cache_dtype=cache_dtype, paged=not args.no_paged,
                  hot=args.hot, page=args.page, seed=args.seed,
-                 draft=draft, spec_k=args.spec_k)
+                 draft=draft, spec_k=args.spec_k, shared_prefix=prefix)
+    if args.http is not None:
+        from quip_tpu.serve.server import serve_http
+        httpd, loop = serve_http(eng, host=args.host, port=args.http,
+                                 tokenizer=tokenizer,
+                                 chunked=not args.no_chunked)
+        print(f"serving on http://{args.host}:{args.http} "
+              f"(POST /generate, GET /health)", file=sys.stderr)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+            loop.shutdown()
+        return
+
+    stop = list(args.stop_token or [])
+    if args.stop_eos:
+        eos = getattr(tokenizer, "eos_token_id", None)
+        if eos is not None:
+            stop.append(int(eos))
     t0 = time.time()
     reqs = eng.run([dict(prompt=tokenizer.encode(s),
                          max_new_tokens=args.max_new_tokens,
                          temperature=args.temperature, top_k=args.top_k,
-                         top_p=args.top_p) for s in prompts],
+                         top_p=args.top_p, stop=stop or None)
+                    for s in prompts],
                    chunked=not args.no_chunked)
     dt = time.time() - t0
     total_toks = sum(len(r.generated) for r in reqs)

@@ -93,6 +93,46 @@ class Hot(NamedTuple):
     vs: Optional[jax.Array] = None
 
 
+class Prefix(NamedTuple):
+    """Shared-prefix KV (system prompt): computed ONCE, read by every slot.
+
+    k/v (n_layers, P, kv_heads, hd) — note NO batch axis: the prefix is
+    one sequence shared across slots (the dominant serving case: a common
+    system prompt). Slots opt in per request; opted-in slots see their
+    token positions offset by ``length`` and attend these rows first.
+    Memory/prefill cost is paid once instead of per slot. ks/vs are
+    int8-mode scales (n_layers, P, kv_heads).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: int              # static: real prefix rows (<= P)
+    ks: Optional[jax.Array] = None
+    vs: Optional[jax.Array] = None
+
+
+def build_prefix(params, tokens, cfg: ModelConfig,
+                 quantized: bool = False) -> Tuple[jax.Array, Prefix]:
+    """Run a shared prefix once and freeze its per-layer K/V.
+
+    tokens: (P,) or (1, P) token ids. Returns (last-position logits (V,),
+    Prefix). The prefix occupies absolute positions 0..P-1; requests using
+    it start at position P (handled by the decode/prefill plumbing).
+    """
+    tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
+    P = tokens.shape[1]
+    plen = jnp.asarray([P], jnp.int32)
+    logits, ks, vs = _prompt_kv(params, tokens, plen, cfg)
+    ks, vs = ks[:, 0], vs[:, 0]                  # (L, P, KV, hd)
+    kw = {}
+    if quantized:
+        k8, ksc = M.quantize_kv(ks)
+        v8, vsc = M.quantize_kv(vs)
+        ks, vs = k8, v8
+        kw = dict(ks=ksc, vs=vsc)
+    return logits[0], Prefix(ks, vs, P, **kw)
+
+
 def advance(caches: PagedKV, hot: Hot) -> PagedKV:
     """Fold a step's Hot output back into the cache container (host-side)."""
     return caches._replace(hot_k=hot.k, hot_v=hot.v, hot_len=hot.length,
@@ -168,14 +208,18 @@ def _accum(state, q2, keys, vals, kpos, valid, pos, slopes,
 
 
 def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
-                     caches: PagedKV, hot_l, pos, rope_cs, page: int):
-    """Single-token attention against (frozen pages + hot ring).
+                     caches: PagedKV, hot_l, pos, rope_cs, page: int,
+                     prefix_l=None, pre_len=None):
+    """Single-token attention against (shared prefix + frozen pages + hot).
 
     h (B, S, D) — the S-token append window (S=1 is plain decode); layer:
     traced layer index for frozen-page slicing; hot_l = (hot_k, hot_v,
     hot_ks, hot_vs) this layer's hot slabs (from the layer scan); pos
-    (B, S) absolute positions of the incoming tokens (causal within the
-    window). Returns (out (B, S, D), new hot_l).
+    (B, S) ABSOLUTE positions of the incoming tokens (causal within the
+    window; includes any prefix offset). prefix_l = (pk, pv, pks, pvs)
+    this layer's shared-prefix slabs ((P0, KV, hd), no batch axis) or
+    None; pre_len (B,) = per-slot prefix rows attended (0 = opted out).
+    Returns (out (B, S, D), new hot_l).
     """
     B, S, D = h.shape
     H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
@@ -202,7 +246,9 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
         k = M.apply_rope(k, cos, sin)
 
     # write the S new K/V rows into each slot's hot ring at its own hot_len
-    hlen = (pos[:, 0] - caches.base).astype(jnp.int32)   # (B,) == hot_len
+    pre0 = (pre_len.astype(jnp.int32) if pre_len is not None
+            else jnp.zeros((h.shape[0],), jnp.int32))
+    hlen = (pos[:, 0] - pre0 - caches.base).astype(jnp.int32)  # == hot_len
     zero = jnp.zeros((), jnp.int32)
 
     def upd(arr_b, new_b, at):
@@ -232,6 +278,24 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
              jnp.zeros((B, KV, rep, S), jnp.float32),
              jnp.zeros((B, KV, rep, S, hd), jnp.float32))
 
+    if prefix_l is not None:
+        # shared-prefix block: one K/V slab read for the whole batch
+        # (absolute positions 0..P0-1); opted-out slots mask it entirely
+        pk_l, pv_l, pks_l, pvs_l = prefix_l               # (P0, KV, hd)
+        P0 = pk_l.shape[0]
+        kpos = jnp.broadcast_to(
+            jnp.arange(P0, dtype=jnp.int32)[None, :], (B, P0))
+        valid = jnp.broadcast_to(
+            (kpos < pre0[:, None])[:, None, :], (B, S, P0))
+        bshape = (B,) + pk_l.shape
+        psc = (jnp.broadcast_to(pks_l[None], bshape[:-1])
+               if pks_l is not None else None)
+        pvs = (jnp.broadcast_to(pvs_l[None], bshape[:-1])
+               if pvs_l is not None else None)
+        state = _accum(state, q2, jnp.broadcast_to(pk_l[None], bshape),
+                       jnp.broadcast_to(pv_l[None], bshape), kpos, valid,
+                       pos, slopes, psc, pvs, scale)
+
     max_base = jnp.max(caches.base).astype(jnp.int32)
 
     def page_body(psize):
@@ -251,11 +315,13 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
                 pvs = lax.dynamic_slice(
                     caches.vs, (layer, zero, start, zero),
                     (1, B, psize, KV))[0]
-            kpos = start + jnp.arange(psize, dtype=jnp.int32)
-            kpos = jnp.broadcast_to(kpos[None, :], (B, psize))
+            ridx = start + jnp.arange(psize, dtype=jnp.int32)
+            ridx = jnp.broadcast_to(ridx[None, :], (B, psize))
+            # absolute key positions shift past any per-slot prefix
+            kpos = pre0[:, None] + ridx
             # frozen rows are < base, hence before every query position
             valid = jnp.broadcast_to(
-                (kpos < caches.base[:, None])[:, None, :], (B, S, psize))
+                (ridx < caches.base[:, None])[:, None, :], (B, S, psize))
             return _accum(state, q2, pk, pv, kpos, valid, pos, slopes,
                           psc, pvs, scale)
         return body
@@ -277,7 +343,8 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
 
     # hot block: query s (at hot index hlen+s) attends hot rows j <= hlen+s
     # — causal within the appended window, inclusive of its own row
-    kpos = caches.base[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+    kpos = (pre0[:, None] + caches.base[:, None]
+            + jnp.arange(P, dtype=jnp.int32)[None, :])
     qidx = hlen[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (B, S)
     valid = (jnp.arange(P, dtype=jnp.int32)[None, None, :]
              <= qidx[:, :, None])                                   # (B,S,P)
@@ -297,7 +364,9 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
 
 
 def paged_append_step(params, tokens: jax.Array, caches: PagedKV,
-                      cfg: ModelConfig, *, page: int = 256
+                      cfg: ModelConfig, *, page: int = 256,
+                      prefix: Optional[Prefix] = None,
+                      prefix_on: Optional[jax.Array] = None
                       ) -> Tuple[jax.Array, Hot]:
     """Append S tokens per slot to the paged cache and return their logits.
 
@@ -315,36 +384,59 @@ def paged_append_step(params, tokens: jax.Array, caches: PagedKV,
     The frozen arena is read (by telescoped pages, up to the used length)
     but never returned: the per-call cache-output copy is O(hot)
     regardless of capacity.
+
+    prefix + prefix_on (B,) 0/1: shared-prefix mode (see Prefix) — opted-in
+    slots attend the prefix rows first and have all their positions offset
+    by prefix.length (their base/hot_len still count only their own rows).
     """
     if caches.capacity % page:
         raise ValueError(
             f"capacity {caches.capacity} must be a multiple of page {page} "
             f"(init_paged(..., page=...) rounds it up)")
     B, S = tokens.shape
-    pos0 = caches.base + caches.hot_len           # (B,)
+    if prefix is not None:
+        on = (jnp.ones((B,), jnp.int32) if prefix_on is None
+              else prefix_on.astype(jnp.int32))
+        pre_len = on * jnp.asarray(prefix.length, jnp.int32)     # (B,)
+    else:
+        pre_len = None
+    pos0 = caches.base + caches.hot_len           # (B,) own rows
+    if pre_len is not None:
+        pos0 = pos0 + pre_len
     positions = pos0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     x = M.embed(params, tokens, cfg, positions)
     rope_cs = (M.rope_tables(cfg, positions)
                if cfg.positions == "rope" else None)
     quantized = caches.quantized
 
+    xs = (params["blocks"], caches.hot_k, caches.hot_v)
     if quantized:
-        xs = (params["blocks"], caches.hot_k, caches.hot_v,
-              caches.hot_ks, caches.hot_vs)
-    else:
-        xs = (params["blocks"], caches.hot_k, caches.hot_v)
+        xs += (caches.hot_ks, caches.hot_vs)
+    if prefix is not None:
+        xs += (prefix.k, prefix.v)
+        if prefix.ks is not None:
+            xs += (prefix.ks, prefix.vs)
 
     def body(carry, layer_xs):
         x, l = carry
+        layer_xs = list(layer_xs)
+        bp, hk, hv = layer_xs[:3]
+        rest = layer_xs[3:]
+        hks = hvs = None
         if quantized:
-            bp, hk, hv, hks, hvs = layer_xs
-        else:
-            bp, hk, hv = layer_xs
-            hks = hvs = None
+            hks, hvs = rest[:2]
+            rest = rest[2:]
+        prefix_l = None
+        if prefix is not None:
+            if prefix.ks is not None:
+                prefix_l = (rest[0], rest[1], rest[2], rest[3])
+            else:
+                prefix_l = (rest[0], rest[1], None, None)
         h = M.norm(bp["ln1"], x, cfg) if cfg.do_layer_norm_before else x
         a, hot_l = _paged_attention(bp["attn"], h, cfg, l, caches,
                                     (hk, hv, hks, hvs), positions, rope_cs,
-                                    page)
+                                    page, prefix_l=prefix_l,
+                                    pre_len=pre_len)
         x = x + a
         if not cfg.do_layer_norm_before:
             x = M.norm(bp["ln1"], x, cfg)
@@ -363,13 +455,16 @@ def paged_append_step(params, tokens: jax.Array, caches: PagedKV,
 
 
 def paged_decode_step(params, tokens: jax.Array, caches: PagedKV,
-                      cfg: ModelConfig, *, page: int = 256
+                      cfg: ModelConfig, *, page: int = 256,
+                      prefix: Optional[Prefix] = None,
+                      prefix_on: Optional[jax.Array] = None
                       ) -> Tuple[jax.Array, Hot]:
     """One decode token per slot against the paged cache.
 
     tokens (B, 1). Returns (logits (B, V), Hot) — see paged_append_step.
     """
-    logits, hot = paged_append_step(params, tokens, caches, cfg, page=page)
+    logits, hot = paged_append_step(params, tokens, caches, cfg, page=page,
+                                    prefix=prefix, prefix_on=prefix_on)
     return logits[:, -1, :], hot
 
 

@@ -17,6 +17,7 @@ module is the real thing, TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -28,6 +29,19 @@ from quip_tpu.models import model as M
 from quip_tpu.models.config import ModelConfig
 
 
+def _snapshot(host_arr: np.ndarray) -> jax.Array:
+    """Device handoff of a LIVE mutable host array, by value.
+
+    jax.Array creation from numpy is zero-copy when alignment allows
+    (verified on this CPU backend: alignment- and hence run-to-run-
+    nondeterministic). The engine's cursor arrays (_base/_hotlen/
+    _prefix_on) are mutated in place right after dispatching async jits
+    that consume them — through a zero-copy alias that mutation races the
+    pending computation and silently corrupts decode state. Handing jax a
+    private copy makes the alias harmless (nothing ever mutates it)."""
+    return jnp.asarray(host_arr.copy())
+
+
 @dataclasses.dataclass
 class Request:
     uid: int
@@ -36,9 +50,15 @@ class Request:
     temperature: float = 0.0           # 0 => greedy
     top_k: int = 0                     # 0 => full
     top_p: float = 1.0                 # 1 => no nucleus filter
+    stop: Optional[List[int]] = None   # stop token ids (inclusive)
+    use_prefix: bool = False           # attend the engine's shared prefix
     # filled during generation
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # observability (host wall-clock; see Engine.stats)
+    t_submit: float = 0.0
+    t_first: float = 0.0               # first token produced (TTFT anchor)
+    t_done: float = 0.0
 
 
 class BatchedKV:
@@ -238,7 +258,7 @@ class Engine:
                  max_batch: int = 8, max_seq: int = 512,
                  cache_dtype=jnp.float32, kv_quant: bool = False,
                  paged: bool = False, hot: int = 32, page: int = 64,
-                 draft=None, spec_k: int = 4,
+                 draft=None, spec_k: int = 4, shared_prefix=None,
                  seed: int = 0):
         """paged=True uses the two-level paged KV cache (models/paged.py):
         per-step cost scales with used context instead of max_seq — the
@@ -262,11 +282,31 @@ class Engine:
         self._slots: List[Optional[Request]] = [None] * max_batch
         self._queue: List[Request] = []
         self._uid = 0
+        # observability aggregates (Engine.stats)
+        self.accept_hist: List[int] = []   # spec: emitted tokens per step
+        self._done_reqs = 0
+        self._done_tokens = 0
+        self._ttft_sum = 0.0
+        self._req_time_sum = 0.0
         self.spec = draft is not None
         if self.spec:
             paged = True
             if spec_k >= hot:
                 raise ValueError(f"spec_k={spec_k} must be < hot={hot}")
+        self.prefix = None
+        self.dprefix = None
+        if shared_prefix is not None:
+            # shared-prefix (system prompt) KV: computed once here, read by
+            # every opted-in slot — prefill skips it and the cache stores
+            # it once instead of per slot (models/paged.Prefix). Spec
+            # engines additionally build the DRAFT model's prefix in
+            # _init_spec (same tokens, its own params/cfg).
+            paged = True
+            from quip_tpu.models import paged as _PG
+            self._prefix_tokens = np.asarray(shared_prefix, np.int32)
+            _, self.prefix = _PG.build_prefix(
+                params, self._prefix_tokens, cfg, quantized=kv_quant)
+            self._prefix_on = np.zeros(max_batch, np.int32)
         self.paged = paged
         if paged:
             self._init_paged(cache_dtype, kv_quant, hot, page)
@@ -286,24 +326,42 @@ class Engine:
                                  dtype=cache_dtype, quantized=kv_quant,
                                  hot=self.hot, page=self.page)
         cfg_d, cfg_t, page = self.draft_cfg, self.cfg, self.page
+        if self.prefix is not None:
+            # the draft attends the SAME prefix tokens through its own
+            # weights; one shared prefix_on/pre_len per slot
+            _, self.dprefix = PG.build_prefix(
+                self.draft_params, self._prefix_tokens, cfg_d,
+                quantized=self.dkv.quantized)
+            # chunked-append admission also streams the prompt through
+            # the draft cache (its logits are discarded)
+            self._append_draft = jax.jit(
+                lambda params, tokens, caches, prefix, pre_on:
+                PG.paged_append_step(params, tokens, caches, cfg_d,
+                                     page=page, prefix=prefix,
+                                     prefix_on=pre_on))
         self._spec_step = jax.jit(
-            lambda dp, tp, tok, dc, tc: spec_decode_step(
-                dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k, page=page))
+            lambda dp, tp, tok, dc, tc, dpre, tpre, pre_on: spec_decode_step(
+                dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k, page=page,
+                d_prefix=dpre, t_prefix=tpre, prefix_on=pre_on))
         # stochastic variant (rejection sampling): used whenever any
         # active slot asks for temperature/top-k/top-p; greedy slots in
         # the same batch keep exact one-hot semantics
         self._spec_sample_step = jax.jit(
-            lambda dp, tp, tok, dc, tc, key, temps, tks, tps:
+            lambda dp, tp, tok, dc, tc, dpre, tpre, pre_on, key, temps,
+            tks, tps:
             spec_sample_step(dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k,
-                             key, temps, tks, tps, page=page))
+                             key, temps, tks, tps, page=page, d_prefix=dpre,
+                             t_prefix=tpre, prefix_on=pre_on))
         # chunked: S spec iterations (up to S*spec_k tokens/slot) per
         # dispatch — pays the relay host read once per chunk
         from quip_tpu.serve.speculative import spec_decode_chunk
         self._spec_chunk = jax.jit(
-            lambda dp, tp, tok, dc, tc, key, temps, tks, tps, S:
+            lambda dp, tp, tok, dc, tc, dpre, tpre, pre_on, key, temps,
+            tks, tps, S:
             spec_decode_chunk(dp, tp, tok, dc, tc, cfg_d, cfg_t, spec_k,
                               S, page=page, key=key, temps=temps,
-                              top_ks=tks, top_ps=tps),
+                              top_ks=tks, top_ps=tps, d_prefix=dpre,
+                              t_prefix=tpre, prefix_on=pre_on),
             static_argnames=("S",))
         self._prefill_draft = jax.jit(
             lambda p, t, pl, c, s: PG.paged_prefill_slot(p, t, pl, c, s,
@@ -311,8 +369,8 @@ class Engine:
             donate_argnums=3)
 
     def _sync_dkv(self):
-        return self.dkv._replace(base=jnp.asarray(self._base),
-                                 hot_len=jnp.asarray(self._hotlen))
+        return self.dkv._replace(base=_snapshot(self._base),
+                                 hot_len=_snapshot(self._hotlen))
 
     def _init_arena(self, cache_dtype, kv_quant):
         cfg = self.cfg
@@ -415,8 +473,16 @@ class Engine:
         self._hotlen = np.zeros(max_batch, np.int32)
 
         self._decode_paged = jax.jit(
-            lambda params, tokens, caches:
-            PG.paged_decode_step(params, tokens, caches, cfg, page=page))
+            lambda params, tokens, caches, prefix, pre_on:
+            PG.paged_decode_step(params, tokens, caches, cfg, page=page,
+                                 prefix=prefix, prefix_on=pre_on))
+        # multi-token append: chunked-prefill admission for shared-prefix
+        # requests (prompt tokens must attend the prefix, so they stream
+        # through the hot ring instead of the plain prefill path)
+        self._append_paged = jax.jit(
+            lambda params, tokens, caches, prefix, pre_on:
+            PG.paged_append_step(params, tokens, caches, cfg, page=page,
+                                 prefix=prefix, prefix_on=pre_on))
         # donate the cache pytrees: on this runtime donation aliases MEMORY
         # (halves the flush/prefill working set — a 13B b32 bf16 engine OOMs
         # without it) even though updates still cost copy time
@@ -430,12 +496,13 @@ class Engine:
         # chunked decode with in-graph sampling: the scan carries only the
         # hot ring (O(hot) per iteration), unlike the arena decode_chunk
         # whose carries copy the whole cache on no-donation runtimes
-        def decode_chunk_paged(params, tokens, caches, key, temps,
-                               top_ps, n_steps, top_k):
+        def decode_chunk_paged(params, tokens, caches, prefix, pre_on,
+                               key, temps, top_ps, n_steps, top_k):
             def body(carry, _):
                 tok, hot_s, key = carry
                 logits, hot_s = PG.paged_decode_step(
-                    params, tok, PG.advance(caches, hot_s), cfg, page=page)
+                    params, tok, PG.advance(caches, hot_s), cfg, page=page,
+                    prefix=prefix, prefix_on=pre_on)
                 key, sk = jax.random.split(key)
                 t = _sample(sk, logits, temps, top_k,
                             top_ps).astype(jnp.int32)
@@ -452,8 +519,21 @@ class Engine:
 
     def _sync_pkv(self):
         """Paged cache with the host-authoritative cursors pushed in."""
-        return self.pkv._replace(base=jnp.asarray(self._base),
-                                 hot_len=jnp.asarray(self._hotlen))
+        return self.pkv._replace(base=_snapshot(self._base),
+                                 hot_len=_snapshot(self._hotlen))
+
+    def _prefix_args(self):
+        """(prefix, per-slot on-vector) jit args; (None, None) when the
+        engine has no shared prefix (the jits specialize per mode)."""
+        if self.prefix is None:
+            return None, None
+        return self.prefix, _snapshot(self._prefix_on)
+
+    def _spec_prefix_args(self):
+        """(draft prefix, target prefix, on-vector) for the spec jits."""
+        if self.prefix is None:
+            return None, None, None
+        return self.dprefix, self.prefix, _snapshot(self._prefix_on)
 
     def _flush_now(self):
         self.pkv = self._flush(self._sync_pkv())
@@ -465,6 +545,50 @@ class Engine:
     def _maybe_flush(self):
         if int(self._hotlen.max()) >= self.hot:
             self._flush_now()
+
+    def _mark_done(self, req: Request) -> None:
+        req.done = True
+        req.t_done = time.time()
+        self._done_reqs += 1
+        self._done_tokens += len(req.generated)
+        if req.t_first:
+            self._ttft_sum += req.t_first - req.t_submit
+        self._req_time_sum += req.t_done - req.t_submit
+
+    def stats(self) -> Dict[str, Any]:
+        """Host-side serving metrics: completed/queued counts, mean TTFT
+        and request latency, and (spec engines) the acceptance histogram
+        of emitted-tokens-per-step. Exposed over HTTP at /metrics."""
+        out: Dict[str, Any] = dict(
+            completed=self._done_reqs,
+            tokens=self._done_tokens,
+            active=sum(s is not None for s in self._slots),
+            queued=len(self._queue))
+        if self._done_reqs:
+            out["mean_ttft_s"] = self._ttft_sum / self._done_reqs
+            out["mean_request_s"] = self._req_time_sum / self._done_reqs
+        if self.spec and self.accept_hist:
+            h = np.bincount(np.asarray(self.accept_hist),
+                            minlength=self.spec_k + 1)
+            out["spec_emitted_mean"] = float(np.mean(self.accept_hist))
+            out["spec_emitted_hist"] = h.tolist()
+        return out
+
+    def _take_tokens(self, req: Request, toks) -> tuple:
+        """Budget- and stop-truncate a freshly decoded token run.
+
+        Returns (take, stopped): append toks[:take]; the stop token (if
+        hit) is included in the output, matching HF generate semantics.
+        Rows past the truncation stay in the cache but are dead — the
+        host-authoritative cursors never advance over them."""
+        take = min(len(toks), req.max_new_tokens + 1 - len(req.generated))
+        stopped = False
+        if req.stop:
+            for j in range(take):
+                if toks[j] in req.stop:
+                    take, stopped = j + 1, True
+                    break
+        return take, stopped
 
     def _lengths(self) -> np.ndarray:
         """Per-slot sequence lengths (host view)."""
@@ -481,7 +605,7 @@ class Engine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt, max_new_tokens=32, temperature=0.0,
-               top_k=0, top_p=1.0) -> int:
+               top_k=0, top_p=1.0, stop=None, use_prefix=None) -> int:
         prompt = np.asarray(prompt, np.int32)
         if prompt.size == 0:
             raise ValueError("empty prompt")
@@ -491,11 +615,63 @@ class Engine:
                 f"({self.max_seq - 1}); raise max_seq or truncate")
         if not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
-        req = Request(self._uid, prompt,
-                      max_new_tokens, temperature, top_k, top_p)
+        if use_prefix is None:
+            use_prefix = self.prefix is not None
+        if use_prefix and self.prefix is None:
+            raise ValueError("use_prefix requires an engine built with "
+                             "shared_prefix=...")
+        req = Request(self._uid, prompt, max_new_tokens, temperature,
+                      top_k, top_p, list(stop) if stop else None,
+                      use_prefix=bool(use_prefix), t_submit=time.time())
         self._uid += 1
         self._queue.append(req)
         return req.uid
+
+    def _admit_with_prefix(self, i: int, req: Request):
+        """Chunked-append admission for a shared-prefix request.
+
+        The prompt must ATTEND the prefix rows, which the plain prefill
+        path cannot do, so it streams through the hot ring in power-of-two
+        windows (flushing between windows as needed). Other slots receive
+        garbage hot-ring writes past their hot_len — dead rows under the
+        host-authoritative cursors, overwritten by their next real step.
+        Returns the last real prompt position's logits (1, V). Spec
+        engines stream the same windows through the draft cache too (the
+        draft's logits are discarded; both caches share the cursors)."""
+        self._base[i] = 0
+        self._hotlen[i] = 0
+        self._prefix_on[i] = 1
+        prompt = np.asarray(req.prompt, np.int32)
+        pos = 0
+        logits_last = None
+        while pos < len(prompt):
+            room = self.hot - int(self._hotlen.max())
+            if room < 2:
+                self._flush_now()
+                room = self.hot
+            S = 1
+            while S * 2 <= room:
+                S *= 2
+            n = min(len(prompt) - pos, S)
+            while S >= 2 * n:              # smallest pow2 bucket >= n
+                S //= 2
+            window = np.zeros((self.max_batch, S), np.int32)
+            window[i, :n] = prompt[pos:pos + n]
+            caches = self._sync_pkv()
+            logits_w, hot = self._append_paged(
+                self.params, jnp.asarray(window), caches,
+                *self._prefix_args())
+            self.pkv = self._PG.advance(caches, hot)
+            if self.spec:
+                dcaches = self._sync_dkv()
+                _, d_hot = self._append_draft(
+                    self.draft_params, jnp.asarray(window), dcaches,
+                    self.dprefix, _snapshot(self._prefix_on))
+                self.dkv = self._PG.advance(dcaches, d_hot)
+            self._hotlen[i] += n           # only this slot really advanced
+            pos += n
+            logits_last = logits_w[i, n - 1][None]
+        return logits_last
 
     def _admit(self):
         for i in range(self.max_batch):
@@ -511,7 +687,9 @@ class Engine:
                 bucket = min(bucket, self.max_seq)
                 padded = np.zeros((1, bucket), np.int32)
                 padded[0, :plen] = req.prompt
-                if self.paged:
+                if req.use_prefix:
+                    logits = self._admit_with_prefix(i, req)
+                elif self.paged:
                     logits, self.pkv = self._prefill_paged(
                         self.params, jnp.asarray(padded),
                         jnp.asarray(plen, jnp.int32), self._sync_pkv(),
@@ -539,6 +717,17 @@ class Engine:
                                   jnp.asarray([req.temperature]),
                                   req.top_k, tp)[0])
                 req.generated.append(tok)
+                req.t_first = time.time()
+                if req.stop and tok in req.stop:
+                    self._mark_done(req)
+                    self._slots[i] = None
+                    if self.paged:
+                        self._base[i] = 0
+                        self._hotlen[i] = 0
+                        if self.prefix is not None:
+                            self._prefix_on[i] = 0
+                    else:
+                        self.kv.lengths = self.kv.lengths.at[i].set(0)
 
     def _step_spec(self) -> None:
         """Speculative continuous-batching iteration: admit, draft+verify
@@ -563,33 +752,38 @@ class Engine:
             self.key, sk = jax.random.split(self.key)
             emitted, n_emit, d_hot, t_hot = self._spec_sample_step(
                 self.draft_params, self.params, jnp.asarray(last),
-                self._sync_dkv(), self._sync_pkv(), sk,
+                self._sync_dkv(), self._sync_pkv(),
+                *self._spec_prefix_args(), sk,
                 jnp.asarray(temps),
                 jnp.asarray(tks) if tks.any() else None,
                 jnp.asarray(tps) if (tps < 1.0).any() else None)
         else:
             emitted, n_emit, d_hot, t_hot = self._spec_step(
                 self.draft_params, self.params, jnp.asarray(last),
-                self._sync_dkv(), self._sync_pkv())
+                self._sync_dkv(), self._sync_pkv(),
+                *self._spec_prefix_args())
         self.dkv = self._PG.advance(self.dkv, d_hot)
         self.pkv = self._PG.advance(self.pkv, t_hot)
         em = np.asarray(emitted)
         ne = np.asarray(n_emit)
+        self.accept_hist.extend(int(ne[i]) for i in active)
         for i in active:
             req = self._slots[i]
-            # truncating to the budget keeps cursors exact: rows past the
-            # (host-authoritative) hot_len are dead
-            take = min(int(ne[i]),
-                       req.max_new_tokens + 1 - len(req.generated))
-            req.generated.extend(int(t) for t in em[i, :take])
+            # truncating to the budget/stop keeps cursors exact: rows past
+            # the (host-authoritative) hot_len are dead
+            toks = [int(t) for t in em[i, : int(ne[i])]]
+            take, stopped = self._take_tokens(req, toks)
+            req.generated.extend(toks[:take])
             self._hotlen[i] += take
             length = self._base[i] + self._hotlen[i]
-            if (len(req.generated) >= req.max_new_tokens + 1
+            if (stopped or len(req.generated) >= req.max_new_tokens + 1
                     or length >= self.max_seq - 1):
-                req.done = True
+                self._mark_done(req)
                 self._slots[i] = None
                 self._base[i] = 0
                 self._hotlen[i] = 0
+                if self.prefix is not None:
+                    self._prefix_on[i] = 0
 
     def step(self) -> None:
         """One continuous-batching iteration: admit, decode one token for
@@ -606,7 +800,8 @@ class Engine:
         if self.paged:
             caches = self._sync_pkv()
             logits, hot_s = self._decode_paged(self.params,
-                                               jnp.asarray(last), caches)
+                                               jnp.asarray(last), caches,
+                                               *self._prefix_args())
             self.pkv = self._PG.advance(caches, hot_s)
         else:
             logits, arena = self._decode(
@@ -641,13 +836,16 @@ class Engine:
                 self._hotlen[i] += 1
             newlen[i] += 1
             if (len(req.generated) >= req.max_new_tokens + 1
-                    or newlen[i] >= self.max_seq - 1):
-                req.done = True
+                    or newlen[i] >= self.max_seq - 1
+                    or (req.stop and int(toks[i]) in req.stop)):
+                self._mark_done(req)
                 self._slots[i] = None
                 newlen[i] = 0
                 if self.paged:
                     self._base[i] = 0
                     self._hotlen[i] = 0
+                    if self.prefix is not None:
+                        self._prefix_on[i] = 0
         if self.paged:
             self._maybe_flush()
         else:
@@ -691,7 +889,8 @@ class Engine:
         sampling = (temps > 0).any()
         ems, nes, d_hot, t_hot = self._spec_chunk(
             self.draft_params, self.params, jnp.asarray(last),
-            self._sync_dkv(), self._sync_pkv(), sk,
+            self._sync_dkv(), self._sync_pkv(),
+            *self._spec_prefix_args(), sk,
             jnp.asarray(temps) if sampling else None,
             jnp.asarray(tks) if sampling and tks.any() else None,
             jnp.asarray(tps) if sampling and (tps < 1.0).any() else None,
@@ -700,24 +899,27 @@ class Engine:
         self.pkv = self._PG.advance(self.pkv, t_hot)
         em = np.asarray(ems)
         ne = np.asarray(nes)
+        self.accept_hist.extend(int(ne[i, s]) for i in active
+                                for s in range(S))
         for i in active:
             req = self._slots[i]
             toks: List[int] = []
             for s in range(S):
                 toks.extend(int(t) for t in em[i, s, : ne[i, s]])
-            # truncating to the budget keeps cursors exact: rows past the
-            # (host-authoritative) hot_len are dead
-            take = min(len(toks),
-                       req.max_new_tokens + 1 - len(req.generated))
+            # truncating to the budget/stop keeps cursors exact: rows past
+            # the (host-authoritative) hot_len are dead
+            take, stopped = self._take_tokens(req, toks)
             req.generated.extend(toks[:take])
             self._hotlen[i] += take
             length = self._base[i] + self._hotlen[i]
-            if (len(req.generated) >= req.max_new_tokens + 1
+            if (stopped or len(req.generated) >= req.max_new_tokens + 1
                     or length >= self.max_seq - 1):
-                req.done = True
+                self._mark_done(req)
                 self._slots[i] = None
                 self._base[i] = 0
                 self._hotlen[i] = 0
+                if self.prefix is not None:
+                    self._prefix_on[i] = 0
         return S * self.spec_k
 
     def step_chunk(self, max_chunk: int = 16) -> int:
@@ -767,7 +969,8 @@ class Engine:
         if self.paged:
             caches = self._sync_pkv()
             toks, hot_s = self._decode_chunk_paged(
-                self.params, jnp.asarray(last), caches, sk,
+                self.params, jnp.asarray(last), caches,
+                *self._prefix_args(), sk,
                 jnp.asarray(temps), top_ps, n_steps=T, top_k=top_k)
             self.pkv = self._PG.advance(caches, hot_s)
         else:
@@ -780,18 +983,22 @@ class Engine:
         newlen = self._lengths()
         for i in active:
             req = self._slots[i]
-            req.generated.extend(int(t) for t in toks[i])
+            row = [int(t) for t in toks[i]]
+            take, stopped = self._take_tokens(req, row)
+            req.generated.extend(row[:take])
             if self.paged:
-                self._hotlen[i] += T
-            newlen[i] += T
-            if (len(req.generated) >= req.max_new_tokens + 1
+                self._hotlen[i] += take
+            newlen[i] += take
+            if (stopped or len(req.generated) >= req.max_new_tokens + 1
                     or newlen[i] >= self.max_seq - 1):
-                req.done = True
+                self._mark_done(req)
                 self._slots[i] = None
                 newlen[i] = 0
                 if self.paged:
                     self._base[i] = 0
                     self._hotlen[i] = 0
+                    if self.prefix is not None:
+                        self._prefix_on[i] = 0
         if self.paged:
             self._maybe_flush()
         else:
@@ -818,10 +1025,11 @@ class Engine:
         return [all_reqs[uid] for uid in uids]
 
     def stream(self, prompt, max_new_tokens=64, temperature=0.0, top_k=0,
-               top_p=1.0):
+               top_p=1.0, stop=None):
         """Generator interface: yields tokens as they are produced (other
         queued/active requests keep decoding in the same steps)."""
-        uid = self.submit(prompt, max_new_tokens, temperature, top_k, top_p)
+        uid = self.submit(prompt, max_new_tokens, temperature, top_k,
+                          top_p, stop)
         req = next(r for r in self._queue if r.uid == uid)
         emitted = 0
         while not req.done:

@@ -1,0 +1,182 @@
+"""HTTP serving front-end over the continuous-batching Engine.
+
+A minimal production-shaped server: one background thread owns the Engine
+(it is not thread-safe — all device work happens on that thread, which is
+also the natural TPU model: one process, one dispatch stream); HTTP
+handlers submit requests through a queue and wait on per-request events.
+Stdlib-only (http.server), so it runs in hermetic environments.
+
+API:
+    GET  /health            -> {"status": "ok", "active": n, "queued": m}
+    POST /generate          -> JSON body:
+        {"prompt": [int, ...] | "text": str,   # token ids or raw text
+         "max_new_tokens": int, "temperature": float, "top_k": int,
+         "top_p": float, "stop": [int, ...]}
+      response: {"tokens": [...], "text": str|null, "uid": int}
+
+No reference counterpart (the reference has no serving path at all,
+SURVEY.md §2.6); this is the user-facing tier above serve/engine.py.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from quip_tpu.serve.engine import Engine
+
+
+class EngineLoop:
+    """Owns the Engine on a single worker thread; thread-safe submit."""
+
+    def __init__(self, engine: Engine, tokenizer=None, chunked: bool = True):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.chunked = chunked
+        self._inbox: "queue.Queue" = queue.Queue()
+        self._events: dict = {}           # uid -> (Event, Request)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = False
+
+    def start(self):
+        self._started = True
+        self._thread.start()
+
+    def shutdown(self):
+        self._stop.set()
+        if self._started:
+            self._thread.join(timeout=30)
+
+    def submit(self, **kw):
+        """Thread-safe: enqueue a request; returns (uid_future_event,
+        result_holder). Call from any thread."""
+        ev = threading.Event()
+        holder: dict = {}
+        self._inbox.put((kw, ev, holder))
+        return ev, holder
+
+    def counts(self):
+        eng = self.engine
+        with self._lock:
+            active = sum(s is not None for s in eng._slots)
+            queued = len(eng._queue) + self._inbox.qsize()
+        return active, queued
+
+    def _drain_inbox(self):
+        while True:
+            try:
+                kw, ev, holder = self._inbox.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                uid = self.engine.submit(**kw)
+            except (ValueError, TypeError) as e:      # bad request
+                holder["error"] = str(e)
+                ev.set()
+                continue
+            req = next(r for r in self.engine._queue if r.uid == uid)
+            self._events[uid] = (ev, req, holder)
+
+    def _run(self):
+        while not self._stop.is_set():
+            with self._lock:
+                self._drain_inbox()
+                busy = (any(s is not None for s in self.engine._slots)
+                        or self.engine._queue)
+                if busy:
+                    if self.chunked:
+                        self.engine.step_chunk()
+                    else:
+                        self.engine.step()
+                done = [uid for uid, (_, r, _h) in self._events.items()
+                        if r.done]
+                for uid in done:
+                    ev, req, holder = self._events.pop(uid)
+                    holder["tokens"] = list(req.generated)
+                    holder["uid"] = uid
+                    ev.set()
+            if not busy:
+                # idle: park briefly so submits wake us promptly
+                self._stop.wait(0.005)
+
+
+def make_handler(loop: EngineLoop, timeout_s: float = 600.0):
+    tokenizer = loop.tokenizer
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; the engine loop is the interesting log
+        def log_message(self, *a):     # noqa: N802
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):              # noqa: N802
+            if self.path == "/health":
+                active, queued = loop.counts()
+                return self._json(200, {"status": "ok", "active": active,
+                                        "queued": queued})
+            if self.path == "/metrics":
+                with loop._lock:
+                    stats = loop.engine.stats()
+                return self._json(200, stats)
+            return self._json(404, {"error": "not found"})
+
+        def do_POST(self):             # noqa: N802
+            if self.path != "/generate":
+                return self._json(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body.get("prompt")
+                if prompt is None and "text" in body:
+                    if tokenizer is None:
+                        return self._json(400,
+                                          {"error": "no tokenizer loaded; "
+                                                    "send token ids in "
+                                                    "'prompt'"})
+                    prompt = tokenizer.encode(body["text"])
+                if not prompt:
+                    return self._json(400, {"error": "empty prompt"})
+                kw = dict(prompt=prompt,
+                          max_new_tokens=int(body.get("max_new_tokens", 32)),
+                          temperature=float(body.get("temperature", 0.0)),
+                          top_k=int(body.get("top_k", 0)),
+                          top_p=float(body.get("top_p", 1.0)),
+                          stop=body.get("stop"))
+                if "use_prefix" in body:
+                    kw["use_prefix"] = bool(body["use_prefix"])
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+            ev, holder = loop.submit(**kw)
+            if not ev.wait(timeout_s):
+                return self._json(504, {"error": "generation timed out"})
+            if "error" in holder:
+                return self._json(400, {"error": holder["error"]})
+            toks = holder["tokens"]
+            text = tokenizer.decode(toks) if tokenizer is not None else None
+            self._json(200, {"tokens": toks, "text": text,
+                             "uid": holder["uid"]})
+
+    return Handler
+
+
+def serve_http(engine: Engine, host: str = "127.0.0.1", port: int = 8000,
+               tokenizer=None, chunked: bool = True
+               ) -> tuple:
+    """Start the engine loop + HTTP server. Returns (httpd, loop); call
+    httpd.shutdown() and loop.shutdown() to stop. Blocking callers can
+    invoke httpd.serve_forever() themselves via the returned object."""
+    loop = EngineLoop(engine, tokenizer=tokenizer, chunked=chunked)
+    loop.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(loop))
+    return httpd, loop

@@ -38,7 +38,8 @@ from quip_tpu.models.config import ModelConfig
 def spec_decode_step(draft_params, target_params, tokens: jax.Array,
                      dcaches: PG.PagedKV, tcaches: PG.PagedKV,
                      cfg_d: ModelConfig, cfg_t: ModelConfig, K: int,
-                     *, page: int = 64
+                     *, page: int = 64, d_prefix: Optional[PG.Prefix] = None,
+                     t_prefix: Optional[PG.Prefix] = None, prefix_on=None
                      ) -> Tuple[jax.Array, jax.Array, PG.Hot, PG.Hot]:
     """One speculative iteration (jittable; K static).
 
@@ -47,6 +48,11 @@ def spec_decode_step(draft_params, target_params, tokens: jax.Array,
     first). Returns (emitted (B, K) — positions >= n_emit are padding,
     n_emit (B,) in [1, K], draft Hot, target Hot); both Hots advance
     each slot's hot_len by that slot's n_emit.
+
+    d_prefix/t_prefix + prefix_on (B,): shared-prefix (system prompt)
+    mode — both models computed the SAME prefix token sequence once
+    (models/paged.build_prefix with each model's own params), so opted-in
+    slots share one pre_len offset; rollback semantics are unchanged.
     """
     B = tokens.shape[0]
 
@@ -54,7 +60,8 @@ def spec_decode_step(draft_params, target_params, tokens: jax.Array,
     def draft_body(carry, _):
         tok, hot = carry
         logits, hot = PG.paged_decode_step(
-            draft_params, tok, PG.advance(dcaches, hot), cfg_d, page=page)
+            draft_params, tok, PG.advance(dcaches, hot), cfg_d, page=page,
+            prefix=d_prefix, prefix_on=prefix_on)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
         return (nxt, hot), nxt[:, 0]
 
@@ -67,7 +74,9 @@ def spec_decode_step(draft_params, target_params, tokens: jax.Array,
     # 2) target scores the window [t0, d_1..d_{K-1}] in one append
     window = jnp.concatenate([tokens, drafts[:, : K - 1]], axis=1)  # (B, K)
     t_logits, t_hot = PG.paged_append_step(target_params, window, tcaches,
-                                           cfg_t, page=page)
+                                           cfg_t, page=page,
+                                           prefix=t_prefix,
+                                           prefix_on=prefix_on)
     greedy = jnp.argmax(t_logits, -1).astype(jnp.int32)      # (B, K): g_0..
     # g_i = target's next token after prefix ... t0 d_1..d_i
 
@@ -258,7 +267,8 @@ def spec_sample_step(draft_params, target_params, tokens: jax.Array,
                      dcaches: PG.PagedKV, tcaches: PG.PagedKV,
                      cfg_d: ModelConfig, cfg_t: ModelConfig, K: int,
                      key, temps, top_ks=None, top_ps=None, *,
-                     page: int = 64
+                     page: int = 64, d_prefix: Optional[PG.Prefix] = None,
+                     t_prefix: Optional[PG.Prefix] = None, prefix_on=None
                      ) -> Tuple[jax.Array, jax.Array, PG.Hot, PG.Hot]:
     """One stochastic speculative iteration (jittable; K static).
 
@@ -271,7 +281,8 @@ def spec_sample_step(draft_params, target_params, tokens: jax.Array,
     def draft_body(carry, sk):
         tok, hot = carry
         logits, hot = PG.paged_decode_step(
-            draft_params, tok, PG.advance(dcaches, hot), cfg_d, page=page)
+            draft_params, tok, PG.advance(dcaches, hot), cfg_d, page=page,
+            prefix=d_prefix, prefix_on=prefix_on)
         qd = spec_dist(logits, temps, top_ks, top_ps)
         nxt = jax.random.categorical(
             sk, jnp.log(jnp.maximum(qd, 1e-38)), axis=-1)
@@ -287,7 +298,9 @@ def spec_sample_step(draft_params, target_params, tokens: jax.Array,
 
     window = jnp.concatenate([tokens, drafts[:, : K - 1]], axis=1)
     t_logits, t_hot = PG.paged_append_step(target_params, window, tcaches,
-                                           cfg_t, page=page)
+                                           cfg_t, page=page,
+                                           prefix=t_prefix,
+                                           prefix_on=prefix_on)
     p = jax.vmap(lambda lg: spec_dist(lg, temps, top_ks, top_ps),
                  in_axes=1, out_axes=1)(t_logits)  # (B, K, V)
     emitted, n_emit = spec_accept(ak, drafts, q, p)
@@ -321,7 +334,9 @@ def spec_decode_chunk(draft_params, target_params, tokens: jax.Array,
                       dcaches: PG.PagedKV, tcaches: PG.PagedKV,
                       cfg_d: ModelConfig, cfg_t: ModelConfig, K: int,
                       S: int, *, page: int = 64, key=None, temps=None,
-                      top_ks=None, top_ps=None):
+                      top_ks=None, top_ps=None,
+                      d_prefix: Optional[PG.Prefix] = None,
+                      t_prefix: Optional[PG.Prefix] = None, prefix_on=None):
     """S speculative iterations in ONE dispatch (jittable; K, S static).
 
     Emits up to S*K tokens per slot per dispatch while paying the host
@@ -350,11 +365,13 @@ def spec_decode_chunk(draft_params, target_params, tokens: jax.Array,
         if temps is None:
             em, ne, d_hot, t_hot = spec_decode_step(
                 draft_params, target_params, tok, dc, tc, cfg_d, cfg_t, K,
-                page=page)
+                page=page, d_prefix=d_prefix, t_prefix=t_prefix,
+                prefix_on=prefix_on)
         else:
             em, ne, d_hot, t_hot = spec_sample_step(
                 draft_params, target_params, tok, dc, tc, cfg_d, cfg_t, K,
-                sk, temps, top_ks, top_ps, page=page)
+                sk, temps, top_ks, top_ps, page=page, d_prefix=d_prefix,
+                t_prefix=t_prefix, prefix_on=prefix_on)
         tok = jnp.take_along_axis(em, (ne - 1)[:, None], axis=1)
         return (tok, d_hot, t_hot), (em, ne)
 

@@ -10,10 +10,23 @@ def enable_compile_cache(path: str | None = None) -> str:
     per-shape solver/model compiles, so re-runs become solve-bound).
 
     All CLIs enable this by default (--no_compile_cache opts out); library
-    users call it explicitly."""
+    users call it explicitly.
+
+    No-op on the CPU backend: CPU compiles are fast, and this jax build's
+    cache WRITER (compilation_cache.put_executable_and_time) was observed
+    to segfault serializing some large CPU executables (speculative-decode
+    programs). The cache's entire value is on the TPU path."""
     import jax
 
-    path = path or os.path.expanduser("~/.cache/quip_tpu/xla")
+    if jax.default_backend() == "cpu":
+        return ""
+
+    # QUIP_TPU_COMPILE_CACHE overrides the default location; the test
+    # suite points it at a per-session temp dir so hermetic CPU tests
+    # never share (or race) the real cache with concurrent TPU runs — a
+    # corrupted shared entry segfaulted jax's cache reader once.
+    path = (path or os.environ.get("QUIP_TPU_COMPILE_CACHE")
+            or os.path.expanduser("~/.cache/quip_tpu/xla"))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # default thresholds skip sub-second programs; we want everything that

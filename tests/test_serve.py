@@ -606,3 +606,201 @@ def test_engine_top_p_chunked(tiny_model):
     assert len(reqs[0].generated) >= 8
     with pytest.raises(ValueError, match="top_p"):
         eng.submit([1], top_p=0.0)
+
+
+def test_engine_stop_tokens(tiny_model):
+    """Generation stops at (and includes) a stop token in every path."""
+    cfg, params = tiny_model
+    # greedy reference to learn what tokens actually appear
+    want = _greedy_reference(params, cfg, [1, 2, 3], 8)
+    stop_at = want[3]   # stop on the 4th generated token
+    want_stopped = want[: want.index(stop_at) + 1]
+
+    for kwargs in (dict(),                                # arena per-step
+                   dict(paged=True, hot=8, page=8)):      # paged
+        eng = Engine(params, cfg, max_batch=2, max_seq=64, **kwargs)
+        [req] = eng.run([dict(prompt=[1, 2, 3], max_new_tokens=8,
+                              stop=[stop_at])])
+        assert req.generated == want_stopped, (kwargs, req.generated)
+        # chunked path
+        eng = Engine(params, cfg, max_batch=2, max_seq=64, **kwargs)
+        [req] = eng.run([dict(prompt=[1, 2, 3], max_new_tokens=8,
+                              stop=[stop_at])], chunked=True)
+        assert req.generated == want_stopped, (kwargs, req.generated)
+
+
+def test_engine_stop_tokens_spec(tiny_model):
+    """Stop tokens through the speculative (chunked) engine; a slot that
+    stops frees up for the next queued request."""
+    cfg, params = tiny_model
+    dparams = params
+    want = _greedy_reference(params, cfg, [1, 2, 3], 8)
+    stop_at = want[2]
+    want_stopped = want[: want.index(stop_at) + 1]
+    eng = Engine(params, cfg, max_batch=1, max_seq=64, paged=True, hot=16,
+                 page=8, draft=(dparams, cfg), spec_k=2)
+    reqs = eng.run([dict(prompt=[1, 2, 3], max_new_tokens=8,
+                         stop=[stop_at]),
+                    dict(prompt=[5, 6], max_new_tokens=4)], chunked=True)
+    assert reqs[0].generated == want_stopped
+    want2 = _greedy_reference(params, cfg, [5, 6], 4)
+    assert reqs[1].generated[:4] == want2
+
+
+def test_engine_stop_token_first(tiny_model):
+    """A stop token appearing as the very first (prefill-sampled) token
+    retires the request before any decode step."""
+    cfg, params = tiny_model
+    want = _greedy_reference(params, cfg, [1, 2, 3], 1)
+    eng = Engine(params, cfg, max_batch=1, max_seq=64)
+    [req] = eng.run([dict(prompt=[1, 2, 3], max_new_tokens=8,
+                          stop=[want[0]])])
+    assert req.generated == want[:1]
+
+
+def test_engine_stats(tiny_model):
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True, hot=16,
+                 page=8, draft=(params, cfg), spec_k=3)
+    eng.run([dict(prompt=[1, 2, 3], max_new_tokens=6),
+             dict(prompt=[4], max_new_tokens=4)], chunked=True)
+    s = eng.stats()
+    assert s["completed"] == 2 and s["active"] == 0 and s["queued"] == 0
+    assert s["tokens"] >= 10
+    assert 0 <= s["mean_ttft_s"] <= s["mean_request_s"]
+    # perfect draft: every spec step emits spec_k tokens
+    assert s["spec_emitted_mean"] == 3.0, s
+
+
+# ---------------------------------------------------------------------------
+# Shared-prefix (system prompt) caching
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["opt-tiny", "llama-tiny", "bloom-tiny"])
+def test_paged_prefix_equals_inline(name):
+    """Prefix + own cache == one cache prefilled with prefix+prompt, for
+    all three position schemes (learned / RoPE / ALiBi)."""
+    from quip_tpu.models import paged as PG
+    cfg = get_config(name)
+    params = M.init_params(jax.random.key(0), cfg)
+    p, q = [3, 1, 4, 1, 5], [9, 2, 6, 8]
+
+    _, prefix = PG.build_prefix(params, p, cfg)
+    ca = PG.init_paged(1, 32, cfg, dtype=jnp.float32, hot=8, page=8)
+    la, hot = PG.paged_append_step(params, jnp.asarray([q], jnp.int32), ca,
+                                   cfg, page=8, prefix=prefix,
+                                   prefix_on=jnp.asarray([1], jnp.int32))
+    ca = PG.advance(ca, hot)
+    la = la[:, -1, :]
+
+    cb = PG.init_paged(1, 32, cfg, dtype=jnp.float32, hot=8, page=8)
+    lb, cb = PG.paged_prefill(params, jnp.asarray([p + q], jnp.int32),
+                              jnp.asarray([len(p + q)], jnp.int32), cb, cfg)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-4)
+
+    tok_a = jnp.argmax(la, -1).astype(jnp.int32)[:, None]
+    tok_b = jnp.argmax(lb, -1).astype(jnp.int32)[:, None]
+    for _ in range(6):      # decode across a flush boundary
+        la, hot = PG.paged_decode_step(params, tok_a, ca, cfg, page=8,
+                                       prefix=prefix,
+                                       prefix_on=jnp.asarray([1], jnp.int32))
+        ca = PG.advance(ca, hot)
+        if int(ca.hot_len[0]) >= 7:
+            ca = PG.flush_hot(ca)
+        lb, hotb = PG.paged_decode_step(params, tok_b, cb, cfg, page=8)
+        cb = PG.advance(cb, hotb)
+        if int(cb.hot_len[0]) >= 7:
+            cb = PG.flush_hot(cb)
+        tok_a = jnp.argmax(la, -1).astype(jnp.int32)[:, None]
+        tok_b = jnp.argmax(lb, -1).astype(jnp.int32)[:, None]
+        assert int(tok_a[0, 0]) == int(tok_b[0, 0])
+
+
+def test_engine_shared_prefix(tiny_model):
+    """Engine(shared_prefix=p) greedy streams == plain greedy on p+prompt;
+    mixed prefix/non-prefix slots; slot reuse resets the flag; prompts
+    longer than the hot ring stream through chunked admission."""
+    cfg, params = tiny_model
+    p = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True, hot=8,
+                 page=8, shared_prefix=p)
+    long_prompt = [7, 2, 9, 1, 8, 8, 1, 2, 3, 4, 5]   # > hot: chunked admit
+    reqs = eng.run([dict(prompt=long_prompt, max_new_tokens=8),
+                    dict(prompt=[8, 8, 8], max_new_tokens=8,
+                         use_prefix=False)])
+    assert reqs[0].generated[:8] == _greedy_reference(
+        params, cfg, p + long_prompt, 8)
+    assert reqs[1].generated[:8] == _greedy_reference(params, cfg,
+                                                      [8, 8, 8], 8)
+    # slot reuse (3 requests, 2 slots) + chunked decode path
+    reqs = eng.run([dict(prompt=[7, 2], max_new_tokens=6),
+                    dict(prompt=[1], max_new_tokens=6, use_prefix=False),
+                    dict(prompt=[5, 5, 5], max_new_tokens=6)],
+                   chunked=True)
+    assert reqs[0].generated[:6] == _greedy_reference(params, cfg,
+                                                      p + [7, 2], 6)
+    assert reqs[1].generated[:6] == _greedy_reference(params, cfg, [1], 6)
+    assert reqs[2].generated[:6] == _greedy_reference(params, cfg,
+                                                      p + [5, 5, 5], 6)
+
+
+def test_engine_shared_prefix_kv_quant(tiny_model):
+    """int8 KV cache composes with the shared prefix (prefix scales fold
+    around the attention dots like the cache scales)."""
+    cfg, params = tiny_model
+    p = [3, 1, 4, 1, 5]
+    a = Engine(params, cfg, max_batch=1, max_seq=64, paged=True, hot=8,
+               page=8, shared_prefix=p, kv_quant=True)
+    b = Engine(params, cfg, max_batch=1, max_seq=64, paged=True, hot=8,
+               page=8, kv_quant=True)
+    [ra] = a.run([dict(prompt=[7, 2], max_new_tokens=6)])
+    [rb] = b.run([dict(prompt=p + [7, 2], max_new_tokens=6)])
+    assert ra.generated[:6] == rb.generated[:6]
+
+
+def test_engine_prefix_validation(tiny_model):
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=1, max_seq=32, paged=True, hot=8,
+                 page=8)
+    with pytest.raises(ValueError, match="use_prefix"):
+        eng.submit([1, 2], use_prefix=True)
+
+
+def test_engine_shared_prefix_spec(tiny_model):
+    """Shared prefix composes with speculative decoding: a perfect draft
+    (== target) through both prefix caches emits exactly the plain greedy
+    stream on prefix+prompt, in the per-step and chunked spec paths."""
+    cfg, params = tiny_model
+    p = [3, 1, 4, 1, 5, 9, 2, 6]
+    prompts = [[7, 2], [8, 8, 8]]
+    for chunked in (False, True):
+        eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True,
+                     hot=16, page=8, draft=(params, cfg), spec_k=3,
+                     shared_prefix=p)
+        reqs = eng.run([dict(prompt=q, max_new_tokens=6) for q in prompts],
+                       chunked=chunked)
+        for q, r in zip(prompts, reqs):
+            want = _greedy_reference(params, cfg, p + q, 6)
+            assert r.generated[:6] == want, (chunked, q, r.generated, want)
+        # perfect draft: every spec step emits spec_k tokens
+        assert eng.stats()["spec_emitted_mean"] == 3.0
+
+
+def test_engine_shared_prefix_spec_self_draft(tiny_model):
+    """Layer-skip self-draft + shared prefix: the draft's own prefix is
+    built from the sliced blocks; the emitted stream stays target-exact
+    (verification guarantees exactness at any acceptance rate)."""
+    from quip_tpu.serve.speculative import make_self_draft
+    cfg, params = tiny_model
+    p = [3, 1, 4, 1, 5]
+    draft = make_self_draft(params, cfg, 1)
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True,
+                 hot=16, page=8, draft=draft, spec_k=3, shared_prefix=p)
+    reqs = eng.run([dict(prompt=[7, 2], max_new_tokens=6),
+                    dict(prompt=[6, 6], max_new_tokens=6,
+                         use_prefix=False)], chunked=True)
+    assert reqs[0].generated[:6] == _greedy_reference(params, cfg,
+                                                      p + [7, 2], 6)
+    assert reqs[1].generated[:6] == _greedy_reference(params, cfg,
+                                                      [6, 6], 6)
