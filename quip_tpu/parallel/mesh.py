@@ -233,6 +233,27 @@ def shard_paged(caches, mesh: Mesh):
                         is_leaf=lambda x: x is None)
 
 
+def shard_prefix(prefix, mesh: Mesh):
+    """Place a shared-prefix KV slab (models/paged.Prefix) on the mesh.
+
+    Prefix arrays are (layers, P, kv_heads, hd) with NO batch axis (one
+    prefix shared by every slot): shard kv_heads over 'tp', replicate over
+    'dp' — matching paged_cache_specs so the prefix attention block stays
+    resharding-free next to the per-slot cache reads."""
+    spec4 = P(None, None, "tp", None)
+    spec3 = P(None, None, "tp")
+
+    def place(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return prefix._replace(k=place(prefix.k, spec4),
+                           v=place(prefix.v, spec4),
+                           ks=place(prefix.ks, spec3),
+                           vs=place(prefix.vs, spec3))
+
+
 def seq_sharded_spec() -> P:
     """Sequence-axis sharding for long-context prefill (SURVEY.md §5.7):
     tokens (B, S) partitioned over 'dp' on the sequence axis; GSPMD inserts

@@ -460,6 +460,45 @@ def test_paged_sharded_matches_unsharded(tiny_model):
     np.testing.assert_allclose(sharded, base, rtol=2e-4, atol=2e-4)
 
 
+def test_paged_prefix_sharded_matches_unsharded(tiny_model):
+    """Shared-prefix decode under a dp x tp mesh == unsharded (prefix
+    kv_heads shard over tp alongside the per-slot caches)."""
+    from quip_tpu.models import paged as P
+    from quip_tpu.parallel.mesh import (make_mesh, shard_paged,
+                                        shard_params, shard_prefix)
+
+    cfg, params = tiny_model
+    B = 4
+    pre = [3, 1, 4, 1, 5]
+    tok = jnp.asarray(np.arange(1, B + 1)[:, None], jnp.int32)
+    on = jnp.asarray([1, 1, 0, 1], jnp.int32)
+
+    def chain(params, caches, prefix, steps=6, page=8):
+        step = jax.jit(lambda p, t, c, pre: P.paged_decode_step(
+            p, t, c, cfg, page=page, prefix=pre, prefix_on=on))
+        t = tok
+        outs = []
+        for i in range(steps):
+            logits, hot_s = step(params, t, caches, prefix)
+            caches = P.advance(caches, hot_s)
+            if (i + 1) % 3 == 0:
+                caches = P.flush_hot(caches)
+            t = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+            outs.append(np.asarray(logits, np.float32))
+        return np.stack(outs)
+
+    _, prefix = P.build_prefix(params, pre, cfg)
+    base = chain(params, P.init_paged(B, 32, cfg, dtype=jnp.float32, hot=4),
+                 prefix)
+
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_paged(P.init_paged(B, 32, cfg, dtype=jnp.float32, hot=4),
+                     mesh)
+    sharded = chain(sp, sc, shard_prefix(prefix, mesh))
+    np.testing.assert_allclose(sharded, base, rtol=2e-4, atol=2e-4)
+
+
 def test_engine_rejects_oversized_prompt(tiny_model):
     cfg, params = tiny_model
     for paged in (False, True):
