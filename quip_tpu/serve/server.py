@@ -8,11 +8,15 @@ Stdlib-only (http.server), so it runs in hermetic environments.
 
 API:
     GET  /health            -> {"status": "ok", "active": n, "queued": m}
+    GET  /metrics           -> Engine.stats() JSON
     POST /generate          -> JSON body:
         {"prompt": [int, ...] | "text": str,   # token ids or raw text
          "max_new_tokens": int, "temperature": float, "top_k": int,
-         "top_p": float, "stop": [int, ...]}
+         "top_p": float, "stop": [int, ...], "use_prefix": bool,
+         "stream": bool}
       response: {"tokens": [...], "text": str|null, "uid": int}
+      stream=true: NDJSON — one {"token": id} line per emitted token as
+      it decodes, then the final full-result line
 
 No reference counterpart (the reference has no serving path at all,
 SURVEY.md §2.6); this is the user-facing tier above serve/engine.py.
@@ -51,11 +55,18 @@ class EngineLoop:
         if self._started:
             self._thread.join(timeout=30)
 
-    def submit(self, **kw):
+    def submit(self, stream: bool = False, **kw):
         """Thread-safe: enqueue a request; returns (uid_future_event,
-        result_holder). Call from any thread."""
+        result_holder). Call from any thread.
+
+        stream=True additionally puts a Queue at holder["stream"]: the
+        engine thread pushes each new token id as it is emitted, then the
+        sentinel None when the request retires (read tokens from the
+        queue; the final full list still lands in holder["tokens"])."""
         ev = threading.Event()
         holder: dict = {}
+        if stream:
+            holder["stream"] = queue.Queue()
         self._inbox.put((kw, ev, holder))
         return ev, holder
 
@@ -76,10 +87,12 @@ class EngineLoop:
                 uid = self.engine.submit(**kw)
             except (ValueError, TypeError) as e:      # bad request
                 holder["error"] = str(e)
+                if "stream" in holder:
+                    holder["stream"].put(None)
                 ev.set()
                 continue
             req = next(r for r in self.engine._queue if r.uid == uid)
-            self._events[uid] = (ev, req, holder)
+            self._events[uid] = (ev, req, holder, [0])
 
     def _run(self):
         while not self._stop.is_set():
@@ -92,12 +105,20 @@ class EngineLoop:
                         self.engine.step_chunk()
                     else:
                         self.engine.step()
-                done = [uid for uid, (_, r, _h) in self._events.items()
-                        if r.done]
+                done = []
+                for uid, (_, r, h, sent) in self._events.items():
+                    if "stream" in h:           # push newly emitted tokens
+                        while sent[0] < len(r.generated):
+                            h["stream"].put(r.generated[sent[0]])
+                            sent[0] += 1
+                    if r.done:
+                        done.append(uid)
                 for uid in done:
-                    ev, req, holder = self._events.pop(uid)
+                    ev, req, holder, _ = self._events.pop(uid)
                     holder["tokens"] = list(req.generated)
                     holder["uid"] = uid
+                    if "stream" in holder:
+                        holder["stream"].put(None)      # end-of-stream
                     ev.set()
             if not busy:
                 # idle: park briefly so submits wake us promptly
@@ -155,9 +176,12 @@ def make_handler(loop: EngineLoop, timeout_s: float = 600.0):
                           stop=body.get("stop"))
                 if "use_prefix" in body:
                     kw["use_prefix"] = bool(body["use_prefix"])
+                stream = bool(body.get("stream", False))
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": str(e)})
-            ev, holder = loop.submit(**kw)
+            ev, holder = loop.submit(stream=stream, **kw)
+            if stream:
+                return self._stream_response(holder)
             if not ev.wait(timeout_s):
                 return self._json(504, {"error": "generation timed out"})
             if "error" in holder:
@@ -166,6 +190,37 @@ def make_handler(loop: EngineLoop, timeout_s: float = 600.0):
             text = tokenizer.decode(toks) if tokenizer is not None else None
             self._json(200, {"tokens": toks, "text": text,
                              "uid": holder["uid"]})
+
+        def _stream_response(self, holder):
+            """NDJSON token stream: one {"token": id} line per emitted
+            token as it decodes, then a final line with the full result
+            (or {"error": ...}). No Content-Length — the connection close
+            delimits the body (HTTP/1.0 semantics of http.server)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()
+            q = holder["stream"]
+            while True:
+                try:
+                    tok = q.get(timeout=timeout_s)
+                except queue.Empty:
+                    self.wfile.write(
+                        json.dumps({"error": "generation timed out"})
+                        .encode() + b"\n")
+                    return
+                if tok is None:
+                    break
+                self.wfile.write(
+                    json.dumps({"token": int(tok)}).encode() + b"\n")
+                self.wfile.flush()
+            if "error" in holder:
+                final = {"error": holder["error"]}
+            else:
+                toks = holder["tokens"]
+                final = {"tokens": toks, "uid": holder["uid"],
+                         "text": (tokenizer.decode(toks)
+                                  if tokenizer is not None else None)}
+            self.wfile.write(json.dumps(final).encode() + b"\n")
 
     return Handler
 

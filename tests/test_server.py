@@ -97,6 +97,34 @@ def test_http_stop_tokens(http_server):
     assert out["tokens"] == gen[:3], (out, gen)
 
 
+def test_http_streaming(http_server):
+    """stream=true returns NDJSON: one {"token": id} line per emitted
+    token, then a final line with the full result; the incremental tokens
+    equal the batch result."""
+    cfg, params, port = http_server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps({"prompt": [1, 2, 3], "max_new_tokens": 5,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in r.read().splitlines()]
+    *toks, final = lines
+    assert [t["token"] for t in toks] == final["tokens"]
+    code, batch = _post(port, {"prompt": [1, 2, 3], "max_new_tokens": 5})
+    assert code == 200 and final["tokens"] == batch["tokens"]
+    # bad request still yields a single error line, not a hang
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps({"prompt": [1], "top_p": 0.0,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        lines = [json.loads(l) for l in r.read().splitlines()]
+    assert len(lines) == 1 and "error" in lines[0]
+
+
 def test_http_metrics(http_server):
     _, _, port = http_server
     # at least one request has completed by the time this test runs
