@@ -71,9 +71,11 @@ def main():
     tps, dt = e2e(eng, reqs)
     print(f"inline prefix (P={P}): {tps:.1f} tok/s ({dt:.1f}s)")
 
-    # admission cost of ONE request (TTFT proxy), warm
+    # admission cost of ONE request (TTFT proxy), warm (chunked, the
+    # already-compiled path — per-step decode would re-compile here)
+    eng.run([reqs[0]], chunked=True)
     t0 = time.time()
-    eng.run([reqs[0]])
+    eng.run([reqs[1]], chunked=True)
     t_inline = time.time() - t0
     print(f"inline single-request wall (P+{Q} prompt, {new} new): "
           f"{t_inline*1e3:.0f} ms")
@@ -92,8 +94,9 @@ def main():
     tps, dt = e2e(eng, reqs_np)
     print(f"shared prefix (P={P}): {tps:.1f} tok/s ({dt:.1f}s)")
 
+    eng.run([reqs_np[0]], chunked=True)
     t0 = time.time()
-    eng.run([reqs_np[0]])
+    eng.run([reqs_np[1]], chunked=True)
     t_shared = time.time() - t0
     print(f"shared single-request wall ({Q} prompt, {new} new): "
           f"{t_shared*1e3:.0f} ms")

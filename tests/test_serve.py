@@ -536,6 +536,31 @@ def test_engine_fuzz_greedy_parity(tiny_model, paged, chunked):
         assert r.generated[:n] == want, (p, n, r.generated, want)
 
 
+@pytest.mark.parametrize("chunked", [False, True])
+def test_engine_fuzz_prefix_parity(tiny_model, chunked):
+    """Random request mix with randomized shared-prefix opt-in: every
+    completed request must match its teacher-forced greedy tokens on
+    (prefix +) prompt — catches prefix admission/offset/retirement
+    interleaving bugs across slot reuse and flushes."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(11)
+    pre = rng.integers(1, cfg.vocab_size, (7,)).tolist()
+    eng = Engine(params, cfg, max_batch=3, max_seq=64, paged=True,
+                 hot=8, page=8, shared_prefix=pre)
+    prompts, budgets, ons = [], [], []
+    for _ in range(8):
+        plen = int(rng.integers(1, 16))
+        prompts.append(rng.integers(1, cfg.vocab_size, (plen,)).tolist())
+        budgets.append(int(rng.integers(1, 10)))
+        ons.append(bool(rng.integers(0, 2)))
+    out = eng.run([dict(prompt=p, max_new_tokens=n, use_prefix=o)
+                   for p, n, o in zip(prompts, budgets, ons)],
+                  chunked=chunked)
+    for p, n, o, r in zip(prompts, budgets, ons, out):
+        want = _greedy_reference(params, cfg, (pre + p) if o else p, n)
+        assert r.generated[:n] == want, (p, n, o, r.generated, want)
+
+
 def test_engine_speculative_matches_plain(tiny_model):
     """Speculative continuous batching == plain greedy engine, including
     admissions mid-flight, ragged acceptance, budgets, and flushes."""
