@@ -32,7 +32,12 @@ is free at decode batch sizes (the kernel is bandwidth-bound, and planes
 together still move bits/16 of the bf16 bytes).
 
 Grid: (B_tiles, m_tiles); each program DMAs one (nw, TM) packed tile per
-plane + one (TB, d) activation tile, emits (TB, TM).
+plane + one (TB, d) activation tile, emits (TB, TM). Unpacked slabs are
+dotted one at a time against their contiguous x chunks (never concatenated
+into a dense (d, TM) operand), which keeps the VMEM working set to the
+packed tile + one slab and lets default_tile_m pick tiles 2-10x larger —
+measured 490 -> 590-640 GB/s effective on 7B decode shapes and 384 -> 640
+on the 32000-row lm_head (scripts/bench_kernel.py).
 """
 from __future__ import annotations
 
@@ -51,26 +56,35 @@ _BF16_128 = 0x43004300  # bf16 128.0 in both 16-bit halves
 
 def _plane_codes_dot(x_bf, w_ref, field_bits, xsum_bf):
     """x @ q_pᵀ for one packed plane, via the bf16 mantissa-patterning
-    unpack. Returns the f32 (TB, TM) code dot (offset already removed).
+    unpack and ONE DOT PER FIELD SLAB. Slab k (both 16-bit halves of bit
+    field k) covers the contiguous fan-in columns k·2nw..(k+1)·2nw-1, so it
+    dots directly against the matching x chunk; the concatenated (d, TM)
+    operand is never materialized. Concatenating first (the 1st version of
+    this kernel) cost a VMEM write+read pass over 16x the packed bytes and
+    capped the kernel at 0.55-0.65 of DMA roofline; per-slab dots measure
+    490 -> 590-640 GB/s effective on the large decode shapes and unlock
+    bigger m-tiles (docs/PERF.md, scripts/bench_kernel.py).
 
     The offset fixup MUST use the sum of the bf16-cast x the dot actually
     consumes: the MXU multiplies bf16 operands, so cancelling 128·Σx with a
     higher-precision Σx of a float32 input would leave the x-rounding error
     amplified 128x (a ~1e-3 relative output error, observed)."""
     w = pltpu.bitcast(w_ref[:], jnp.uint32)          # (nw, TM)
+    nw = w.shape[0]
     fph = 16 // field_bits
     mask = jnp.uint32(((1 << field_bits) - 1) * 0x00010001)
     exp = jnp.uint32(_BF16_128)
-    slabs = [
-        pltpu.bitcast(((w >> (field_bits * k)) & mask) | exp, jnp.bfloat16)
-        for k in range(fph)
-    ]                                                 # each (2*nw, TM)
-    q = jnp.concatenate(slabs, axis=0)                # (d, TM) = 128 + codes
-    acc = jax.lax.dot_general(
-        x_bf, q,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    acc = None
+    for k in range(fph):
+        slab = pltpu.bitcast(((w >> (field_bits * k)) & mask) | exp,
+                             jnp.bfloat16)            # (2*nw, TM)
+        xk = x_bf[:, k * 2 * nw:(k + 1) * 2 * nw]     # (TB, 2*nw)
+        part = jax.lax.dot_general(
+            xk, slab,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
     return acc - 128.0 * xsum_bf
 
 
@@ -98,11 +112,27 @@ def _kernel(plane_fields, plane_weights, qfn, maxq, nplanes,
         o_ref[:] = (scale * ycodes - scale * zero * xsum).astype(o_ref.dtype)
 
 
-def default_tile_m(m: int, d: int) -> int:
-    """Largest m-tile that (a) divides m and (b) keeps the unpacked (d, TM)
-    bf16 operand + packed tiles comfortably inside VMEM (~13 MB working
-    set). Prefers lane-aligned power-of-two tiles; falls back to any
-    divisor of m (Mosaic pads odd tiles) so e.g. m=160 still lowers."""
+def default_tile_m(m: int, d: int, bits: int = 2) -> int:
+    """m-tile choice for the per-slab-dot kernel, tuned on-chip
+    (scripts/bench_kernel.py, docs/PERF.md): bigger tiles amortize grid /
+    DMA-pipeline overhead, so take the LARGEST divisor of m that
+
+      (a) is lane-aligned (multiple of 128),
+      (b) leaves >= 4 grid steps (t <= m/4 — fewer steps starve the
+          DMA/compute pipeline: m=4096 measured 1024 > 2048),
+      (c) keeps the packed tile under ~6 MB so Mosaic can double-buffer it
+          in VMEM (this cap reproduces the measured 3200-beats-6400 choice
+          at m=32000 and allows the winning 5504 at m=22016).
+
+    Falls back to the small-shape heuristic (any divisor of m under the
+    VMEM budget; Mosaic pads odd tiles) so e.g. m=160 still lowers."""
+    packed_ok = lambda t: d * t * bits <= 8 * 6e6
+    best = 0
+    for t in range(128, m // 4 + 1, 128):
+        if m % t == 0 and packed_ok(t):
+            best = t
+    if best:
+        return best
     budget = lambda t: d * t * 3 <= 13e6
     for t in (512, 256, 128):
         if m % t == 0 and budget(t):
@@ -146,7 +176,7 @@ def dequant_matmul(
     out_dtype = out_dtype or x.dtype
     splits = PLANE_SPLITS[bits]
     assert len(planes) == len(splits), (len(planes), bits)
-    tile_m = tile_m if tile_m is not None else default_tile_m(m, d)
+    tile_m = tile_m if tile_m is not None else default_tile_m(m, d, bits)
     tile_m = min(tile_m, m)
     tile_b = tile_b if tile_b is not None else _default_tile_b(B)
     assert m % tile_m == 0, f"m={m} must be divisible by tile_m={tile_m}"
