@@ -49,7 +49,7 @@ def add_quant_args(p: argparse.ArgumentParser):
                    choices=[2, 3, 4, 8, 16])
     p.add_argument("--quant", type=str, default="nearest",
                    choices=["allbal", "ldlq", "ldlqRG", "ldlbal_admm",
-                            "nearest", "gptq"])
+                            "nearest", "gptq", "trueobs"])
     p.add_argument("--npasses", type=int, default=0)
     p.add_argument("--unbiased", action="store_true")
     p.add_argument("--qfn", type=str, default="a", choices=["a", "b"])

@@ -10,7 +10,7 @@ import dataclasses
 from dataclasses import dataclass
 
 METHODS = ("ldlq", "ldlqRG", "allbal", "ldlbal_admm", "ldl_gptqequiv",
-           "gptq", "nearest")
+           "gptq", "trueobs", "nearest")
 QFNS = ("a", "b", "c")
 
 
@@ -51,7 +51,8 @@ class QuantConfig:
     groupsize: int = -1              # GPTQ group size (--groupsize)
     sparse_outlier: float = 0.0      # TrueOBS fp-outlier escape (0 = off;
                                      # reference uses 0.25,
-                                     # fast_trueobs.py:108)
+                                     # fast_trueobs.py:108). method="trueobs"
+                                     # turns it on at 0.25 unless set here.
     preproc: PreprocConfig = dataclasses.field(default_factory=PreprocConfig)
     seed: int = 0
 

@@ -100,7 +100,22 @@ def _quantize_layer_inner(W, H, cfg, kproj, kround):
     gp: Optional[GridParams] = None
     scale_b = None
 
-    if cfg.method == "gptq":
+    if cfg.method in ("gptq", "trueobs"):
+        # "trueobs" is the reference's standalone TrueOBS solver
+        # (zeroShot/models/fast_trueobs.py:59-165). Its inner loop IS the
+        # blocked OPTQ recursion (same per-column quantize + error feedback
+        # through the inverse-Cholesky factor); the differences are:
+        #   * the fp-outlier escape ON by default (sparseout, threshold
+        #     0.25·scale² — fast_trueobs.py:108,134-139), and
+        #   * running-average Hessian accumulation (fast_trueobs.py:52-56):
+        #     H_avg = (2/N)·ΣxxT ∝ H_sum, and the recursion is invariant to
+        #     scaling H (U -> U/√c, err·U rows unchanged; percdamp uses
+        #     mean(diag), also scale-free), so the sum-form H used everywhere
+        #     in this framework yields the identical result
+        #     (tests/test_trueobs.py proves this against the torch file).
+        sparse = cfg.sparse_outlier
+        if cfg.method == "trueobs" and sparse == 0.0:
+            sparse = 0.25
         if cfg.qfn in ("a", "c"):
             gp = grid_mod.find_params_qfna(Wp, cfg.wbits, perchannel=True,
                                            sym=False)
@@ -109,10 +124,12 @@ def _quantize_layer_inner(W, H, cfg, kproj, kround):
                             zero=jnp.zeros((Wp.shape[0], 1), Wp.dtype),
                             maxq=maxq)
         What_p = gptq_round(Wp, Hp, gp, cfg.qfn, cfg.blocksize, cfg.groupsize,
-                            sparse_outlier=cfg.sparse_outlier)
-        if cfg.qfn in ("a", "c") and cfg.groupsize == -1:
+                            sparse_outlier=sparse)
+        if cfg.qfn in ("a", "c") and cfg.groupsize == -1 and sparse == 0.0:
             # recover integer codes from the grid for packing (the
             # reference's pack path does the same inversion, quant.py:190-191)
+            # — undefined when fp outliers were kept (mixed sparse+quant
+            # layers stay dense, as in the reference)
             codes = jnp.clip(jnp.round(What_p / gp.scale + gp.zero), 0, maxq)
     elif cfg.qfn == "a":
         gp = grid_mod.find_params_qfna(Wp, cfg.wbits, perchannel=True,
