@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--output_path", type=str, default=None)
     p.add_argument("--table_results", action="store_true")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="local dataset dir for offline tasks (lambada "
+                        "jsonl, storycloze CSVs) — zero-egress operation")
     args = p.parse_args(argv)
 
     task_names = pattern_match(args.tasks.split(","), ALL_TASKS)
@@ -66,7 +69,7 @@ def main(argv=None):
         tokenizer = ByteTokenizer(cfg.vocab_size)
 
     lm = JaxLM(params, cfg, tokenizer, batch_size=args.batch_size)
-    tasks = get_task_dict(task_names)
+    tasks = get_task_dict(task_names, data_dir=args.data_dir)
     results = simple_evaluate(lm, tasks, num_fewshot=args.num_fewshot,
                               limit=args.limit)
     dumped = json.dumps(results, indent=2)

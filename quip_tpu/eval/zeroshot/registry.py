@@ -38,12 +38,20 @@ def get_task(task_name: str):
 
 
 def get_task_dict(task_name_list: List[str],
-                  datasets: Optional[Dict[str, dict]] = None):
+                  datasets: Optional[Dict[str, dict]] = None,
+                  data_dir: Optional[str] = None):
     """Instantiate tasks. `datasets` optionally maps task name to pre-built
-    docs (offline operation)."""
+    docs; `data_dir` points tasks with vendored/local loaders (lambada
+    jsonl, storycloze CSVs — reference zeroShot/tasks/local_datasets/) at
+    their files. Both enable zero-egress operation."""
     out = {}
     for name in task_name_list:
         cls = get_task(name)
         ds = (datasets or {}).get(name)
-        out[name] = cls(dataset=ds) if ds is not None else cls()
+        if ds is not None:
+            out[name] = cls(dataset=ds)
+        elif data_dir is not None:
+            out[name] = cls(data_dir=data_dir)
+        else:
+            out[name] = cls()
     return out

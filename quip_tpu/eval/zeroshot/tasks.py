@@ -158,6 +158,46 @@ class LAMBADA(Task):
     VERSION = 0
     DATASET_PATH = "lambada"
 
+    def download(self, data_dir=None, cache_dir=None, download_mode=None,
+                 dataset=None):
+        if dataset is not None:
+            self.dataset = dataset
+            return
+        if data_dir is not None:
+            self.dataset = self._load_jsonl_dir(data_dir)
+            return
+        super().download(data_dir, cache_dir, download_mode, dataset)
+
+    @staticmethod
+    def _load_jsonl_dir(data_dir):
+        """Offline loader: a directory (or file path) holding the OpenAI
+        LAMBADA jsonl ({"text": ...} per line — the exact file the
+        reference's vendored loading script fetches,
+        zeroShot/tasks/local_datasets/lambada/lambada.py:56-62). Zero
+        egress: nothing is downloaded."""
+        import glob
+        import json
+        import os
+
+        if os.path.isfile(data_dir):
+            paths = [data_dir]
+        else:
+            paths = (sorted(glob.glob(os.path.join(data_dir, "*.jsonl")))
+                     or sorted(glob.glob(
+                         os.path.join(data_dir, "lambada*.json"))))
+        if not paths:
+            raise FileNotFoundError(
+                f"no lambada .jsonl under {data_dir!r} (expected e.g. "
+                "lambada_test.jsonl)")
+        docs = []
+        for path in paths:
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        docs.append({"text": json.loads(line)["text"]})
+        return {"test": docs}
+
     def has_training_docs(self):
         return False
 

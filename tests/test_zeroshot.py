@@ -86,6 +86,24 @@ def test_lambada_style_task(tiny_lm):
     assert res["ppl"] > 0 and 0 <= res["acc"] <= 1
 
 
+def test_lambada_offline_jsonl(tiny_lm, tmp_path):
+    """--data_dir path: the OpenAI lambada_test.jsonl loads with zero
+    egress (reference vendored loader parity,
+    zeroShot/tasks/local_datasets/lambada/lambada.py)."""
+    import json
+
+    path = tmp_path / "lambada_test.jsonl"
+    with open(path, "w", encoding="utf-8") as f:
+        for i in range(4):
+            f.write(json.dumps({"text": f"some words lead to tok{i}"}) + "\n")
+    tasks = get_task_dict(["lambada"], data_dir=str(tmp_path))
+    docs = list(tasks["lambada"].validation_docs())
+    assert len(docs) == 4 and docs[0]["text"].startswith("some words")
+    out = simple_evaluate(tiny_lm, tasks, limit=4, bootstrap_iters=0)
+    res = out["results"]["lambada"]
+    assert res["ppl"] > 0 and 0 <= res["acc"] <= 1
+
+
 def test_multirc_acc_all(tiny_lm):
     docs = {"train": [], "validation": [
         {"paragraph": "p", "question": f"q{i // 2}",
