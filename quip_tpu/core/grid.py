@@ -47,28 +47,11 @@ def maxq_for_bits(bits: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def find_params_qfna(
-    x: jax.Array,
-    bits: int,
-    perchannel: bool = True,
-    sym: bool = False,
-    mse: bool = False,
-    norm: float = 2.4,
-    grid: int = 100,
-    maxshrink: float = 0.8,
-) -> GridParams:
-    """Find (scale, zero) for the qfn-a grid over a weight matrix.
-
-    Mirrors reference ``Quantizer.find_params_qfna`` (quant.py:57-136) for the
-    2-D weight case (weight=True): rows are channels.
-    """
-    maxq = jnp.asarray(2**bits - 1, dtype=x.dtype)
-    if perchannel:
-        xr = x.reshape(x.shape[0], -1)
-    else:
-        xr = x.reshape(1, -1)
-
-    zeros_like_row = jnp.zeros((xr.shape[0],), dtype=x.dtype)
+def _rowwise_qfna(xr, maxq, sym, mse, norm, grid, maxshrink):
+    """Shared min/max grid + optional MSE shrink over rows of xr (rows =
+    channels). The row-wise core of reference find_params_qfna
+    (quant.py:75-114)."""
+    zeros_like_row = jnp.zeros((xr.shape[0],), dtype=xr.dtype)
     xmin = jnp.minimum(xr.min(axis=1), zeros_like_row)
     xmax = jnp.maximum(xr.max(axis=1), zeros_like_row)
 
@@ -88,7 +71,7 @@ def find_params_qfna(
 
     if mse:
         # Grid-shrink MSE search (quant.py:95-114). Static unrolled grid.
-        best = jnp.full((xr.shape[0],), jnp.inf, dtype=x.dtype)
+        best = jnp.full((xr.shape[0],), jnp.inf, dtype=xr.dtype)
         for i in range(int(maxshrink * grid)):
             p = 1 - i / grid
             xmin1 = p * xmin
@@ -101,12 +84,91 @@ def find_params_qfna(
             best = jnp.where(better, err, best)
             scale = jnp.where(better, scale1, scale)
             zero = jnp.where(better, zero1, zero)
+    return scale, zero
+
+
+def find_params_qfna(
+    x: jax.Array,
+    bits: int,
+    perchannel: bool = True,
+    sym: bool = False,
+    mse: bool = False,
+    norm: float = 2.4,
+    grid: int = 100,
+    maxshrink: float = 0.8,
+) -> GridParams:
+    """Find (scale, zero) for the qfn-a grid over a weight matrix.
+
+    Mirrors reference ``Quantizer.find_params_qfna`` (quant.py:57-136) for
+    the weight case (weight=True): rows are channels. For activation
+    tensors (weight=False, 2-4D) use :func:`find_params_qfna_act`.
+    """
+    maxq = jnp.asarray(2**bits - 1, dtype=x.dtype)
+    if perchannel:
+        xr = x.reshape(x.shape[0], -1)
+    else:
+        xr = x.reshape(1, -1)
+
+    scale, zero = _rowwise_qfna(xr, maxq, sym, mse, norm, grid, maxshrink)
 
     if not perchannel:
         scale = jnp.repeat(scale, x.shape[0])
         zero = jnp.repeat(zero, x.shape[0])
 
     return GridParams(scale=scale[:, None], zero=zero[:, None], maxq=maxq)
+
+
+def find_params_qfna_act(
+    x: jax.Array,
+    bits: int,
+    perchannel: bool = True,
+    sym: bool = False,
+    mse: bool = False,
+    norm: float = 2.4,
+    grid: int = 100,
+    maxshrink: float = 0.8,
+) -> GridParams:
+    """qfn-a grid for ACTIVATION tensors — the weight=False cases of
+    reference find_params_qfna (quant.py:66-77, 117-136).
+
+    Channel axis by rank: 4-D (N, C, H, W) -> axis 1 (conv features);
+    3-D (B, S, C) and 2-D (B, C) -> last axis. Returned scale/zero are
+    shaped to broadcast against x directly: (1, C, 1, 1) / (1, 1, C) /
+    (1, C). 1-D inputs are whole-tensor grids with shape (1,) (the
+    reference's perchannel branch cannot take 1-D at all; this is the
+    natural extension).
+    """
+    maxq = jnp.asarray(2**bits - 1, dtype=x.dtype)
+    shape = x.shape
+    if perchannel and x.ndim >= 2:
+        if x.ndim == 4:
+            xr = jnp.moveaxis(x, 1, 0).reshape(shape[1], -1)
+        elif x.ndim == 3:
+            xr = x.reshape(-1, shape[-1]).T
+        else:
+            xr = x.T
+    else:
+        xr = x.reshape(1, -1)
+
+    scale, zero = _rowwise_qfna(xr, maxq, sym, mse, norm, grid, maxshrink)
+
+    if not perchannel and x.ndim >= 2:
+        # broadcast the whole-tensor grid over the channel axis
+        # (quant.py:117-121)
+        nch = shape[1] if x.ndim != 3 else shape[2]
+        scale = jnp.repeat(scale, nch)
+        zero = jnp.repeat(zero, nch)
+
+    if x.ndim == 4:
+        bshape = (1, -1, 1, 1)
+    elif x.ndim == 3:
+        bshape = (1, 1, -1)
+    elif x.ndim == 2:
+        bshape = (1, -1)
+    else:
+        bshape = (-1,)
+    return GridParams(scale=scale.reshape(bshape), zero=zero.reshape(bshape),
+                      maxq=maxq)
 
 
 def quantize_qfna(x, scale, zero, maxq):

@@ -119,15 +119,17 @@ def find_params(aq: ActQuant, x: jax.Array, sym: bool = False,
     """Calibrate one wrapper from recorded input activations.
 
     x: (..., in_features) — or (n_layers, ..., in_features) for stacked
-    wrappers. Per-channel asymmetric min/max grid (find_params_qfna with
-    activations as channels-as-rows)."""
+    wrappers. Per-channel asymmetric min/max grid via the shared
+    activation-tensor grid finder (grid.find_params_qfna_act — the
+    weight=False cases of reference quant.py:66-77,117-136), so the grid
+    layer is one implementation."""
     bits = int(round(float(jnp.log2(jnp.max(aq.maxq) + 1))))
 
     def one(xl):
-        g = grid.find_params_qfna(
-            xl.reshape(-1, xl.shape[-1]).T.astype(jnp.float32), bits,
+        g = grid.find_params_qfna_act(
+            xl.reshape(-1, xl.shape[-1]).astype(jnp.float32), bits,
             sym=sym, mse=mse)
-        return g.scale[:, 0], g.zero[:, 0]
+        return g.scale.reshape(-1), g.zero.reshape(-1)
 
     if aq.scale.ndim == 2:      # stacked layers
         scale, zero = jax.vmap(one)(x)

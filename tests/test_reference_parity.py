@@ -130,3 +130,54 @@ def test_qfnb_scale_quirk_matches_reference():
         nbits=2, npasses=0, scale=None, zero=None, maxq=3,
         unbiased=False, qfn="b", qmethod="ldlq", lazy_batch=False)
     assert float(ref.abs().max()) <= t   # all-zero W stays ~zero
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (4, 6, 16), (5, 16, 3, 3)])
+@pytest.mark.parametrize("perchannel", [True, False])
+def test_find_params_act_matches_reference(shape, perchannel):
+    """Activation-tensor grid finding (weight=False, 2-4D —
+    quant.py:66-77,117-136): scales/zeros AND their broadcast shapes match
+    the reference Quantizer exactly."""
+    from quip_tpu.core.grid import find_params_qfna_act
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(shape).astype(np.float32) * 3.0
+
+    q = refquant.Quantizer()
+    q.configure(bits=4, perchannel=perchannel, sym=False, qfn="a", mse=False)
+    q.find_params(torch.from_numpy(x.copy()), weight=False)
+
+    g = find_params_qfna_act(jnp.asarray(x), 4, perchannel=perchannel)
+    assert tuple(g.scale.shape) == tuple(q.scale.shape)
+    np.testing.assert_allclose(np.asarray(g.scale), q.scale.numpy(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.zero), q.zero.numpy(), rtol=1e-6)
+
+
+def test_find_params_act_mse_matches_reference():
+    """MSE grid-shrink search on an activation tensor (quant.py:95-114).
+
+    Uses the zeroShot Quantizer (zeroShot/models/quant.py): the root
+    quant.py's mse branch calls an undefined `quantize` (a latent
+    reference bug — mse is unreachable through the root CLIs)."""
+    import importlib.util
+
+    from quip_tpu.core.grid import find_params_qfna_act
+
+    spec = importlib.util.spec_from_file_location(
+        "quant_zs_mse", "/root/reference/zeroShot/models/quant.py")
+    refquant_zs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refquant_zs)
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((6, 24)).astype(np.float32)
+    x[0, 0] = 40.0    # outlier: makes the shrink search actually shrink
+
+    q = refquant_zs.Quantizer()
+    q.configure(bits=3, perchannel=True, sym=False, mse=True)
+    q.find_params(torch.from_numpy(x.copy()), weight=False)
+
+    g = find_params_qfna_act(jnp.asarray(x), 3, perchannel=True, mse=True)
+    np.testing.assert_allclose(np.asarray(g.scale), q.scale.numpy(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g.zero), q.zero.numpy(), rtol=1e-5)
