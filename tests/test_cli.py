@@ -207,3 +207,43 @@ def test_quantize_cli_dp_mesh(tmp_path, capsys):
     from quip_tpu.pack.model import load_checkpoint
     tree, meta = load_checkpoint(ck)
     assert meta["wbits"] == 2
+
+
+def test_accept_smoke(tmp_path, capsys):
+    """The turnkey acceptance harness runs the full matrix (fp16 + one
+    quantized width, ppl + zero-shot) end to end with zero egress and
+    emits a pass/fail report with recorded values."""
+    from quip_tpu.cli import accept
+
+    out_path = str(tmp_path / "report.json")
+    with pytest.raises(SystemExit) as e:
+        accept.main(ARGS_TINY + [
+            "--bits", "16,2", "--tasks", "synthetic", "--limit", "4",
+            "--bootstrap_iters", "0", "--output", out_path])
+    assert e.value.code == 0
+    with open(out_path) as f:
+        report = json.load(f)
+    assert report["pass"] is True
+    assert np.isfinite(report["results"]["ppl"]["16"])
+    assert np.isfinite(report["results"]["ppl"]["2"])
+    assert "synthetic" in report["results"]["zeroshot"]["2"]
+    # no published numbers yet: every delta check records no_baseline
+    statuses = {c["status"] for c in report["checks"]}
+    assert "no_baseline" in statuses and report["n_baseline_checks"] == 0
+
+
+def test_accept_baseline_gate(tmp_path):
+    """With published numbers present, the ppl-delta gate actually gates:
+    an impossible baseline (delta 0 allowed) fails the run."""
+    from quip_tpu.cli import accept
+
+    baseline = {"published": {"opt-tiny": {
+        "ppl": {"synthetic": {"16": 1.0, "2": 1.0}}}}}
+    bpath = str(tmp_path / "baseline.json")
+    with open(bpath, "w") as f:
+        json.dump(baseline, f)
+    with pytest.raises(SystemExit) as e:
+        accept.main(ARGS_TINY + [
+            "--bits", "16,2", "--tasks", "", "--baseline", bpath,
+            "--tol_ppl", "0.0"])
+    assert e.value.code == 1
