@@ -29,6 +29,11 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _fused_rht_enabled() -> bool:
+    import os
+    return os.environ.get("QUIP_FUSED_RHT") == "1"
+
+
 def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: Optional[int],
                    use_kernel: Optional[bool]) -> jax.Array:
     """x2 (B, d) @ Ŵ₂ᵀ via the fused kernel (TPU) or jnp reference (CPU)."""
@@ -56,6 +61,35 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
     d = x.shape[-1]
     assert d == q.in_features, (d, q.in_features)
     x2 = x.reshape(-1, d)
+    use = _use_pallas() if use_kernel is None else use_kernel
+
+    if use and q.proj_mode == "rht" and q.proj_key is not None \
+            and q.rot is not None and x2.shape[0] <= 32 \
+            and _fused_rht_enabled():
+        # fused-launch RHT path: ONE Pallas op per rotation (signs + both
+        # Kronecker dots + the scaleWH fold) instead of ~5 XLA ops.
+        # MEASURED SLOWER on the v5e relay (151 vs 169 tok/s headline,
+        # docs/PERF.md round 2): a Pallas launch costs more than the small
+        # XLA op chain it replaces. Kept behind QUIP_FUSED_RHT=1 for
+        # runtimes with cheaper kernel launch; default OFF.
+        from quip_tpu.kernels.rht import rht_apply_fused
+        from quip_tpu.pack.format import rot_to_butterflies
+
+        U, V = rot_to_butterflies(q, dtype=x2.dtype)
+        B = x2.shape[0]
+        pad = (-B) % 8
+        if pad:
+            x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        vec_v = V.signs if q.scaleWH is None \
+            else V.signs / q.scaleWH.astype(V.signs.dtype)
+        x2 = rht_apply_fused(x2, vec_v, V.left, V.right)
+        t = _packed_matmul(q, x2, tile_m, use)
+        y = rht_apply_fused(t, U.signs, U.left, U.right, transpose=True)
+        if pad:
+            y = y[:B]
+        if q.bias is not None:
+            y = y + q.bias.astype(y.dtype)
+        return y.reshape(*lead, q.out_features)
 
     if q.scaleWH is not None:
         x2 = x2 / q.scaleWH.astype(x2.dtype)[None, :]
