@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: blockwise (flash) causal self-attention for prefill.
+
+Round-1 gap (VERDICT r1 item 5): the dense prefill path materializes the
+full (B, H, S, L) f32 softmax logits (models/model.py attention) — fine at
+the reference's 2048 ctx, but it gates long-context prefill: 8k ctx at 7B
+is 32 heads x 8k x 8k x 4 B = 8 GB of logits per sequence. This kernel
+runs the standard online-softmax block recursion so peak memory is
+O(TS x TK) per program instead of O(S x L).
+
+Shape/semantics contract (matches models/model.py:222-245 for the
+prefill case — cache=None, causal, optional right-padded lengths):
+  q (B, H, S, hd), k/v (B, KV, S, hd) — GQA folds rep = H//KV by indexing
+  the kv head h // rep; out (B, H, S, hd).
+  valid(query i, key j) = (j <= i) & (j < plen[b]).
+ALiBi is not fused (BLOOM prefill keeps the dense path — its 2048-ctx
+budget never needed flash); RoPE is applied by the caller as usual.
+
+Grid (B, H, Sq/TS, Sk/TK): the kv axis iterates fastest (TPU grid order,
+verified in CLAUDE.md); the online-softmax state (m, l, acc) lives in VMEM
+scratch across kv steps and o is written once at the last kv block.
+Causal block skipping uses pl.when on the whole tile (blocks entirely
+above the diagonal are neither read nor computed — Pallas only issues the
+DMA for tiles whose body runs).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30    # python float: a jnp scalar here would be captured as a
+                # pallas const (ValueError) instead of folded into the IR
+
+
+def _kernel(scale, ts, tk, causal_skip,
+            plen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+    si = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # tiles fully above the causal diagonal contribute nothing
+    run = (ki * tk <= si * ts + (ts - 1)) if causal_skip else True
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0].astype(jnp.bfloat16)              # (TS, hd)
+        k = k_ref[0, 0].astype(jnp.bfloat16)              # (TK, hd)
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (TS, TK)
+
+        qi = si * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, tk), 0)
+        kj = ki * tk + jax.lax.broadcasted_iota(jnp.int32, (ts, tk), 1)
+        valid = (kj <= qi) & (kj < plen_ref[0])
+        s = jnp.where(valid, s, _NEG)
+
+        m_prev = m_scr[:]                                  # (TS, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(valid, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_scr[:] /
+                       jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "ts", "tk",
+                                             "interpret"))
+def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
+                  plen: Optional[jax.Array] = None, *,
+                  scale: float, ts: int = 256, tk: int = 256,
+                  interpret: bool = False) -> jax.Array:
+    """Causal blockwise attention. q (B, H, S, hd); k/v (B, KV, S, hd);
+    plen (B,) valid key lengths (None = S). Returns (B, H, S, hd)."""
+    B, H, S, hd = q.shape
+    KV = k.shape[1]
+    rep = H // KV
+    ts = min(ts, S)
+    tk = min(tk, S)
+    assert S % ts == 0 and S % tk == 0, (S, ts, tk)
+    if plen is None:
+        plen = jnp.full((B,), S, jnp.int32)
+    plen = plen.astype(jnp.int32)
+
+    grid = (B, H, S // ts, S // tk)
+    return pl.pallas_call(
+        functools.partial(_kernel, float(scale), ts, tk, True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1,), lambda b, h, i, j: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ts, hd), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, hd),
+                         lambda b, h, i, j: (b, h // rep, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, hd),
+                         lambda b, h, i, j: (b, h // rep, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ts, hd),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ts, 1), jnp.float32),
+            pltpu.VMEM((ts, 1), jnp.float32),
+            pltpu.VMEM((ts, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(plen, q, k, v)
+
+
+def flash_prefill_bshd(q: jax.Array, k: jax.Array, v: jax.Array,
+                       plen: Optional[jax.Array] = None, *,
+                       scale: float, interpret: bool = False) -> jax.Array:
+    """Convenience wrapper in the model's native (B, S, H, hd) layout."""
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = flash_prefill(qt, kt, vt, plen, scale=scale, interpret=interpret)
+    return out.transpose(0, 2, 1, 3)

@@ -142,6 +142,21 @@ def quantize_kv(x: jax.Array):
     return q, scale
 
 
+def _flash_eligible(cfg, S: int, cache, plen) -> bool:
+    """Blockwise (flash) prefill kernel gate: TPU, prefill-from-zero
+    (plen provided — see attention()), non-ALiBi, and a block-tileable
+    sequence. Below 512 ctx the dense path's (B, H, S, S) logits are small
+    and its single fused softmax is faster."""
+    import os
+
+    if os.environ.get("QUIP_FLASH_PREFILL", "1") != "1":
+        return False
+    return (plen is not None
+            and jax.default_backend() == "tpu"
+            and cfg.positions != "alibi"
+            and S >= 512 and S % 256 == 0 and cfg.hd % 128 == 0)
+
+
 def attention(
     p: Params,
     x: jax.Array,                    # (B, S, D)
@@ -151,7 +166,13 @@ def attention(
     cache: Optional[KVCache] = None,
     taps: Optional[dict] = None,
     rope_cs: Optional[Tuple[jax.Array, jax.Array]] = None,
+    plen: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """``plen`` (B,) valid-prefix lengths: when given (prefill callers whose
+    mask IS causal & (key < plen)), long sequences route through the
+    blockwise flash kernel (kernels/flash_attn.py) instead of
+    materializing (B, H, S, L) logits. ``mask`` remains authoritative for
+    every other pattern."""
     B, S, D = x.shape
     H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
 
@@ -210,6 +231,22 @@ def attention(
     else:
         k_all, v_all = k, v
         L = S
+
+    # `plen is not None` is the caller's contract that this is a
+    # from-position-0 prefill whose mask is exactly causal & (key < plen):
+    # attention then runs blockwise over the FRESH k/v (never the cache
+    # arrays), so it also covers prefill-into-cache (_prompt_kv) — the
+    # cache update above already stored the rows.
+    if _flash_eligible(cfg, S, cache, plen) and L == S:
+        from quip_tpu.kernels.flash_attn import flash_prefill_bshd
+
+        out = flash_prefill_bshd(q, k, v, plen,
+                                 scale=1.0 / math.sqrt(hd))
+        out = out.reshape(B, S, H * hd)
+        if taps is not None:
+            taps["o_in"] = out
+        out = linear_apply(p["wo"], out) + p.get("bo", 0.0)
+        return out, cache
 
     if KV != H:
         rep = H // KV
@@ -294,19 +331,21 @@ def block_apply(
     cache: Optional[KVCache] = None,
     with_taps: bool = False,
     rope_cs: Optional[Tuple[jax.Array, jax.Array]] = None,
+    plen: Optional[jax.Array] = None,
 ):
     """One decoder block. Returns (y, cache, taps|None).
 
     Pre-LN ordering (all three families; OPT-350m sets
     do_layer_norm_before=False, applying LN after the residual —
-    HF OPTDecoderLayer behavior).
+    HF OPTDecoderLayer behavior). ``plen``: see attention() — enables the
+    flash prefill kernel for causal+length masks.
     """
     taps: Optional[dict] = {} if with_taps else None
 
     res = x
     h = norm(p["ln1"], x, cfg) if cfg.do_layer_norm_before else x
     a, cache = attention(p["attn"], h, cfg, positions, mask, cache, taps,
-                         rope_cs)
+                         rope_cs, plen=plen)
     x = res + a
     if not cfg.do_layer_norm_before:
         x = norm(p["ln1"], x, cfg)
@@ -374,12 +413,13 @@ def forward(params: Params, tokens: jax.Array, cfg: ModelConfig) -> jax.Array:
     B, S = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     mask = causal_mask(B, S)
+    plen = jnp.full((B,), S, jnp.int32)      # pure causal: all keys valid
     x = embed(params, tokens, cfg, positions)
     cs = rope_tables(cfg, positions) if cfg.positions == "rope" else None
 
     def body(x, layer_params):
         y, _, _ = block_apply(layer_params, x, cfg, positions, mask,
-                              rope_cs=cs)
+                              rope_cs=cs, plen=plen)
         return y, None
 
     x, _ = lax.scan(body, x, params["blocks"])

@@ -542,8 +542,10 @@ def _prompt_kv(params, tokens: jax.Array, plen: jax.Array, cfg: ModelConfig):
             jnp.zeros((B, S, cfg.kv_heads, cfg.hd), x.dtype),
             jnp.zeros((B, S, cfg.kv_heads, cfg.hd), x.dtype),
             jnp.zeros((), jnp.int32))
+        # plen: prefill-from-zero contract — long prompts route through
+        # the blockwise flash kernel; the KV rows still land in `cache`
         y, cache, _ = M.block_apply(bp, x, cfg, positions, mask, cache,
-                                    rope_cs=rope_cs)
+                                    rope_cs=rope_cs, plen=plen)
         return y, (cache.k, cache.v)
 
     x, (ks, vs) = lax.scan(body, x, params["blocks"])
