@@ -90,10 +90,53 @@ def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
     return batch / dt       # tokens/sec
 
 
+def _dense_baseline(cfg, label, steps, on_tpu):
+    """Measure — or load the cached — bf16 dense decode baseline.
+
+    The dense number only changes when the dense model path changes, yet
+    re-measuring it cost ~300 s of every ~6 min bench run (VERDICT r1).
+    Cache it per (label, steps, jax version) in docs/bench_baseline.json;
+    delete the entry or set QUIP_BENCH_REFRESH_BASELINE=1 to re-measure.
+    """
+    import os
+    import sys
+    import time as _t
+
+    from quip_tpu.models import model as M
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "bench_baseline.json")
+    key = f"{label}-bf16-steps{steps}-jax{jax.__version__}"
+    cache = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            cache = json.load(f)
+    ent = cache.get(key)
+    if on_tpu and ent and not os.environ.get("QUIP_BENCH_REFRESH_BASELINE"):
+        print(f"# dense baseline from cache: {ent['tok_s']} tok/s "
+              f"(measured {ent['date']})", file=sys.stderr)
+        return float(ent["tok_s"])
+
+    _t0 = _t.time()
+    dense = M.init_params(jax.random.key(0), cfg)
+    print(f"# built dense in {_t.time()-_t0:.0f}s", file=sys.stderr)
+    _t0 = _t.time()
+    tps = bench_decode(dense, cfg, steps=steps)
+    print(f"# dense bench {_t.time()-_t0:.0f}s: {tps:.1f} tok/s",
+          file=sys.stderr)
+    del dense
+    gc.collect()
+    if on_tpu:
+        cache[key] = {"tok_s": round(tps, 2),
+                      "date": _t.strftime("%Y-%m-%d")}
+        with open(path, "w") as f:
+            json.dump(cache, f, indent=1)
+    return tps
+
+
 def main():
     from __graft_entry__ import _packed_llama
     from quip_tpu.models import get_config
-    from quip_tpu.models import model as M
     from quip_tpu.utils import enable_compile_cache
 
     enable_compile_cache()   # re-runs skip the 20-40s per-shape compiles
@@ -104,39 +147,46 @@ def main():
         cfg = replace(get_config("llama-tiny"), dtype="bfloat16")
         label = "llama-tiny"
         steps = 16
+        widths = (2,)
     else:
         cfg = replace(get_config("llama-2-7b"), dtype="bfloat16")
         label = "llama2-7b"
         steps = 96
+        widths = (2, 3, 4)      # reference had 3- and 4-bit CUDA paths too
+                                # (quant.py:166-233); report them side by side
+
+    import sys
+    import time as _t
 
     # sequential build/bench: dense 7B bf16 (~13.5 GB) and packed (~2.2 GB)
     # don't fit in HBM together
-    import sys, time as _t
-    _t0 = _t.time()
-    dense = M.init_params(jax.random.key(0), cfg)
-    print(f"# built dense in {_t.time()-_t0:.0f}s", file=sys.stderr)
-    _t0 = _t.time()
-    tps_dense = bench_decode(dense, cfg, steps=steps)
-    print(f"# dense bench {_t.time()-_t0:.0f}s: {tps_dense:.1f} tok/s",
-          file=sys.stderr)
-    del dense
-    gc.collect()
+    tps_dense = _dense_baseline(cfg, label, steps, on_tpu)
 
-    _t0 = _t.time()
-    # head_bits=2: the --quant_head serving configuration (packed lm_head;
-    # the head matvec dominates the fixed per-step cost) — +6% decode
-    packed = _packed_llama(cfg, bits=2, seed=0, head_bits=2)
-    print(f"# built packed in {_t.time()-_t0:.0f}s", file=sys.stderr)
-    _t0 = _t.time()
-    tps_packed = bench_decode(packed, cfg, steps=steps)
-    print(f"# packed bench {_t.time()-_t0:.0f}s: {tps_packed:.1f} tok/s",
-          file=sys.stderr)
+    tps = {}
+    for bits in widths:
+        _t0 = _t.time()
+        # head_bits: the --quant_head serving configuration (packed
+        # lm_head; the head matvec dominates the fixed per-step cost)
+        packed = _packed_llama(cfg, bits=bits, seed=0, head_bits=bits)
+        print(f"# built {bits}-bit packed in {_t.time()-_t0:.0f}s",
+              file=sys.stderr)
+        _t0 = _t.time()
+        tps[bits] = bench_decode(packed, cfg, steps=steps)
+        print(f"# {bits}-bit bench {_t.time()-_t0:.0f}s: "
+              f"{tps[bits]:.1f} tok/s", file=sys.stderr)
+        del packed
+        gc.collect()
 
+    extra = {"dense_bf16": round(tps_dense, 2)}
+    for bits in widths:
+        if bits != 2:
+            extra[f"{bits}bit"] = round(tps[bits], 2)
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_{label}_2bit",
-        "value": round(tps_packed, 2),
+        "value": round(tps[2], 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tps_packed / tps_dense, 3),
+        "vs_baseline": round(tps[2] / tps_dense, 3),
+        "extra": extra,
     }))
 
 
