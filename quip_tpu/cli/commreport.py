@@ -62,6 +62,10 @@ def _worker(argv):
     B = a.batch * a.dp
 
     def step_report(n_layers):
+        """Compile an UNROLLED decode step (python loop over layers, not
+        lax.scan): collectives inside a scan body appear once in the HLO
+        regardless of trip count, which would zero the per-layer slope.
+        Unrolling makes every layer's collectives countable."""
         cfg = replace(base, n_layers=n_layers, dtype="bfloat16")
         params = jax.eval_shape(
             lambda: _packed_llama(cfg, bits=a.bits, seed=0,
@@ -74,7 +78,21 @@ def _worker(argv):
         tok = jax.ShapeDtypeStruct((B, 1), jnp.int32)
 
         def fn(params, tok, caches):
-            return M.decode_step(params, tok, caches, cfg)
+            Bt = tok.shape[0]
+            length = caches.length[0]
+            positions = jnp.broadcast_to(length, (Bt, 1)).astype(jnp.int32)
+            Lc = caches.k.shape[2]
+            mask = (jnp.arange(Lc)[None, None, :]
+                    <= positions[:, :, None])
+            x = M.embed(params, tok, cfg, positions)
+            cs = (M.rope_tables(cfg, positions)
+                  if cfg.positions == "rope" else None)
+            for i in range(n_layers):
+                bp = jax.tree.map(lambda p, i=i: p[i], params["blocks"])
+                cache_i = jax.tree.map(lambda c, i=i: c[i], caches)
+                x, _, _ = M.block_apply(bp, x, cfg, positions, mask,
+                                        cache_i, rope_cs=cs)
+            return M.unembed(params, x, cfg)[:, -1, :]
 
         jitted = jax.jit(
             fn,
@@ -119,6 +137,8 @@ def _worker(argv):
             "wire_bytes_per_step": total_wire,
             "per_layer": per_layer,
             "per_kind_2layer": r2["per_kind"],
+            "largest": sorted(r2["collectives"],
+                              key=lambda c: -c["bytes"])[:4],
             "scaling_estimate": est,
         },
         "pp_prefill_gpipe": pipeline_comm_bytes(
@@ -146,6 +166,10 @@ def main(argv=None):
     env = dict(os.environ)
     env["QUIP_COMMREPORT_WORKER"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
+    # compile the REAL kernel path (interpret-mode pallas + its SPMD
+    # partitioning rules), not the jnp reference fallback — the report
+    # must reflect the TPU program's collectives
+    env["QUIP_KERNEL_INTERPRET"] = "1"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + f" --xla_force_host_platform_device_count={n}"
                         ).strip()

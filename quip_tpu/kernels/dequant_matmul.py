@@ -156,7 +156,7 @@ def _default_tile_b(B: int) -> int:
     static_argnames=("bits", "qfn", "tile_m", "tile_b", "interpret",
                      "out_dtype"),
 )
-def dequant_matmul(
+def _dequant_matmul_local(
     x: jax.Array,                    # (B, d)
     planes: Tuple[jax.Array, ...],   # halfword-spread planes, (nw_p, m)
     scale: jax.Array,                # qfn-b: (1,1) scalar; qfn-a: (m,)
@@ -169,7 +169,8 @@ def dequant_matmul(
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:
-    """y = x @ dequant(packed).T — the fused inference hot path."""
+    """y = x @ dequant(packed).T — the fused inference hot path (one
+    device's shard; see dequant_matmul for the SPMD-aware entry)."""
     B, d = x.shape
     m = planes[0].shape[-1]
     maxq = float(2**bits - 1)
@@ -225,6 +226,151 @@ def dequant_matmul(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
     )(x, *planes, *extra)
+
+
+# ---------------------------------------------------------------------------
+# SPMD-aware entry: custom partitioning rules for the Pallas kernel
+# ---------------------------------------------------------------------------
+#
+# pallas_call is OPAQUE to the SPMD partitioner: without rules, GSPMD
+# all-gathers every operand and runs the full kernel replicated on every
+# device — measured by cli/commreport.py as ~217 MB of plane all-gathers
+# PER LAYER per decode step on a tp=4 mesh (the round-1 "tp sharding" was
+# placement, not compute distribution). The rules below declare the
+# column-parallel contract:
+#
+#   x (b, d), plane_p (w_p, m), scales (i, m) -> y (b, m)
+#
+#   * m (out features) and b (batch) may shard freely — each device runs
+#     the SAME kernel on its (nw, m/T) plane shard (tile_m recomputed for
+#     the local m);
+#   * d and the packed word axes REQUIRE replication: the halfword-spread
+#     layout interleaves fan-in columns across word rows (word row j of
+#     field k covers column k*2nw + 2j + h), so a contiguous word-row
+#     shard does NOT correspond to a contiguous x slice — row-parallel
+#     sharding of this format is impossible by construction (same reason
+#     d-tiling inside the kernel is, docs/PERF.md). Row-parallel layers
+#     (wo/wd) therefore also run column-parallel; at decode the extra
+#     activation all-gather is KBs/layer vs the GBs of plane gathers this
+#     removes.
+#
+# Under jax's shardy partitioner the einsum-like `sharding_rule` string
+# carries the same contract (need_replication_factors for d/w); the
+# infer/propagate callbacks cover the legacy GSPMD path.
+
+
+@functools.lru_cache(maxsize=None)
+def _dm_partitioned(nplanes: int, bits: int, qfn: str, out_dtype_name: str,
+                    tile_b: Optional[int], interpret: bool = False):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def _impl(x, *ops):
+        planes = ops[:nplanes]
+        if qfn == "b":
+            scale, zero = ops[nplanes], None
+        else:
+            scale, zero = ops[nplanes], ops[nplanes + 1]
+        return _dequant_matmul_local(
+            x, planes, scale, zero, bits=bits, qfn=qfn, tile_m=None,
+            tile_b=tile_b, interpret=interpret, out_dtype=out_dtype)
+
+    fn = custom_partitioning(_impl)
+
+    lhs = ["b d"] + [f"w{p} m" for p in range(nplanes)]
+    repl = ["d"] + [f"w{p}" for p in range(nplanes)]
+    if qfn == "b":
+        lhs.append("i j")
+        repl += ["i", "j"]
+    else:
+        lhs += ["i m", "k m"]
+        repl += ["i", "k"]
+    rule = ", ".join(lhs) + " -> b m"
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        plane_spec = arg_shapes[1].sharding.spec
+        x_spec = arg_shapes[0].sharding.spec
+        b_axis = x_spec[0] if len(x_spec) else None
+        m_axis = plane_spec[-1] if len(plane_spec) else None
+        return NamedSharding(mesh, P(b_axis, m_axis))
+
+    def partition(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        result_sharding = result_shape.sharding
+        arg_shardings = tuple(a.sharding for a in arg_shapes)
+        # every non-(b|m) dim replicated (the need_replication contract);
+        # shardy enforces this before we get here, GSPMD via the specs we
+        # return (the partitioner inserts the reshards)
+        m_axis = result_sharding.spec[-1] if len(result_sharding.spec) \
+            else None
+        b_axis = result_sharding.spec[0] if len(result_sharding.spec) \
+            else None
+        fixed = [NamedSharding(mesh, P(b_axis, None))]
+        for p in range(nplanes):
+            fixed.append(NamedSharding(mesh, P(None, m_axis)))
+        if qfn == "b":
+            fixed.append(NamedSharding(mesh, P(None, None)))
+        else:
+            fixed.append(NamedSharding(mesh, P(None, m_axis)))
+            fixed.append(NamedSharding(mesh, P(None, m_axis)))
+
+        def lower_fn(x, *ops):
+            return _impl(x, *ops)
+
+        return mesh, lower_fn, result_sharding, tuple(fixed)
+
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+        need_replication_factors=tuple(repl),
+    )
+    return fn
+
+
+def dequant_matmul(
+    x: jax.Array,
+    planes: Tuple[jax.Array, ...],
+    scale: jax.Array,
+    zero: Optional[jax.Array],
+    *,
+    bits: int,
+    qfn: str = "b",
+    tile_m: Optional[int] = None,
+    tile_b: Optional[int] = None,
+    interpret: bool = False,
+    out_dtype=None,
+    partitioned: Optional[bool] = None,
+) -> jax.Array:
+    """y = x @ dequant(packed).T — SPMD-aware fused inference entry.
+
+    Single-device semantics identical to the raw kernel; under a mesh the
+    custom-partitioning rules shard the kernel over the out-features axis
+    (see the block comment above). ``tile_m`` pins a tile only on the
+    non-partitioned path (the partitioned path recomputes it per shard).
+    ``partitioned`` default: on unless interpreting (tests/commreport pass
+    partitioned=True with interpret=True to exercise the SPMD rules on the
+    CPU virtual mesh).
+    """
+    out_dtype = out_dtype or x.dtype
+    if partitioned is None:
+        partitioned = not interpret
+    if not partitioned or tile_m is not None:
+        return _dequant_matmul_local(
+            x, planes, scale, zero, bits=bits, qfn=qfn, tile_m=tile_m,
+            tile_b=tile_b, interpret=interpret, out_dtype=out_dtype)
+    m = planes[0].shape[-1]
+    fn = _dm_partitioned(len(planes), bits, qfn, jnp.dtype(out_dtype).name,
+                         tile_b, interpret)
+    if qfn == "b":
+        extra = (jnp.asarray(scale, jnp.float32).reshape(1, 1),)
+    else:
+        extra = (scale.reshape(1, m), zero.reshape(1, m))
+    return fn(x, *planes, *extra)
 
 
 def dequant_matmul_ref(

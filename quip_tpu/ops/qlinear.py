@@ -25,8 +25,17 @@ from quip_tpu.kernels.dequant_matmul import dequant_matmul, dequant_matmul_ref
 from quip_tpu.pack.format import PackedLinear
 
 
+def _kernel_interpret() -> bool:
+    """QUIP_KERNEL_INTERPRET=1: run the Pallas kernel in interpret mode on
+    CPU — the virtual-mesh way to exercise/compile the REAL kernel path
+    (incl. its SPMD partitioning rules) without a TPU. Used by
+    cli/commreport.py and the sharding tests."""
+    import os
+    return os.environ.get("QUIP_KERNEL_INTERPRET") == "1"
+
+
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" or _kernel_interpret()
 
 
 def _fused_rht_enabled() -> bool:
@@ -46,8 +55,10 @@ def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: Optional[int],
         if pad:
             x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         tm = None if tile_m is None else min(tile_m, q.out_features)
+        interp = _kernel_interpret() and jax.default_backend() != "tpu"
         out = dequant_matmul(x2, q.planes, scale, zero, bits=q.bits,
-                             qfn=q.qfn, tile_m=tm)
+                             qfn=q.qfn, tile_m=tm, interpret=interp,
+                             partitioned=None if not interp else True)
         return out[:B] if pad else out
     return dequant_matmul_ref(x2, q.planes, scale, zero, bits=q.bits,
                               qfn=q.qfn)

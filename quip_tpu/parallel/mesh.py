@@ -152,14 +152,18 @@ def _packed_linear_spec(name: str, q: PackedLinear,
         return PackedLinear.tree_unflatten(
             aux, jax.tree.map(lambda _: P(), children))
     la = layer_axis
-    if name in _COL_PARALLEL:
+    if name in _COL_PARALLEL or name in _ROW_PARALLEL:
+        # packed linears are ALWAYS column-parallel (out-features axis):
+        # the halfword-spread word axis interleaves fan-in columns, so a
+        # word-row shard has no matching contiguous activation shard —
+        # row-parallel is structurally impossible in this format (see
+        # kernels/dequant_matmul.py SPMD notes). The kernel's custom
+        # partitioning runs each device's (nw, m/T) shard locally; GSPMD
+        # inserts the (KB-sized at decode) activation gathers around
+        # wo/wd instead of the GB-sized plane gathers replication cost.
         plane = P(la, None, "tp")
         scale = P(la, "tp", None)
-        svec = P(la)
-    elif name in _ROW_PARALLEL:
-        plane = P(la, "tp", None)
-        scale = P(la)
-        svec = P(la, "tp")       # scaleWH spans fan-in
+        svec = P(la)             # scaleWH spans fan-in: replicated
     else:
         plane = P(la)
         scale = P(la)
