@@ -27,13 +27,20 @@ import jax.numpy as jnp
 
 
 def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
-                 chunk=1, kv_quant=False, paged=True, hot=32, page=64):
+                 chunk=1, kv_quant=False, paged=True, hot=32, page=64,
+                 unroll=True):
     """Decode throughput, paged two-level KV cache by default
     (models/paged.py — the serving path: per-step cost scales with used
     context, not capacity; +3% here at 160 ctx, +15% at 2048, +56% on a
     capacity-provisioned cache — docs/PERF.md). paged=False falls back to
     the arena path; chunk>1 additionally scans multiple tokens per dispatch
-    (M.decode_scan), measured NEUTRAL-to-slower on this relay backend."""
+    (M.decode_scan), measured NEUTRAL-to-slower on this relay backend.
+
+    unroll=True (default): pre-split per-layer weight trees + python layer
+    loop — the lax.scan form dynamic-slices each layer's packed weights
+    into a materialized temp every step (opaque-to-fusion Pallas operands;
+    dense dots fuse the slice, packed kernels cannot): scan 170 vs
+    unrolled 254 tok/s at 7B 2-bit (docs/PERF.md round 2)."""
     from quip_tpu.models import model as M
     from quip_tpu.models import paged as PG
 
@@ -43,11 +50,27 @@ def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
         caches = PG.init_paged(batch, max_seq, cfg, dtype=jnp.bfloat16,
                                quantized=kv_quant, hot=hot, page=page)
 
-        @jax.jit
-        def pstep(params, tok, caches):
-            logits, hot_s = PG.paged_decode_step(params, tok, caches, cfg,
-                                                 page=page)
-            return jnp.argmax(logits, -1)[:, None].astype(jnp.int32), hot_s
+        if unroll:
+            # weights as jit ARGUMENTS (closure constants re-upload per
+            # call on relay backends — CLAUDE.md)
+            misc_layers = PG.split_blocks(params)
+
+            @jax.jit
+            def ustep(misc, layers, tok, caches):
+                logits, hot_s = PG.paged_decode_step_unrolled(
+                    misc, layers, tok, caches, cfg, page=page)
+                return (jnp.argmax(logits, -1)[:, None].astype(jnp.int32),
+                        hot_s)
+
+            def pstep(params, tok, caches):
+                return ustep(*misc_layers, tok, caches)
+        else:
+            @jax.jit
+            def pstep(params, tok, caches):
+                logits, hot_s = PG.paged_decode_step(params, tok, caches,
+                                                     cfg, page=page)
+                return (jnp.argmax(logits, -1)[:, None].astype(jnp.int32),
+                        hot_s)
 
         # donated flush: aliases memory on runtimes that support it
         # (halves the flush working set; no timing effect — docs/PERF.md).

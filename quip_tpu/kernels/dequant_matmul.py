@@ -112,7 +112,7 @@ def _kernel(plane_fields, plane_weights, qfn, maxq, nplanes,
         o_ref[:] = (scale * ycodes - scale * zero * xsum).astype(o_ref.dtype)
 
 
-def default_tile_m(m: int, d: int, bits: int = 2) -> int:
+def default_tile_m(m: int, d: int, bits: int = 2, tile_b: int = 8) -> int:
     """m-tile choice for the per-slab-dot kernel, tuned on-chip
     (scripts/bench_kernel.py, docs/PERF.md): bigger tiles amortize grid /
     DMA-pipeline overhead, so take the LARGEST divisor of m that
@@ -122,11 +122,21 @@ def default_tile_m(m: int, d: int, bits: int = 2) -> int:
           DMA/compute pipeline: m=4096 measured 1024 > 2048),
       (c) keeps the packed tile under ~6 MB so Mosaic can double-buffer it
           in VMEM (this cap reproduces the measured 3200-beats-6400 choice
-          at m=32000 and allows the winning 5504 at m=22016).
+          at m=32000 and allows the winning 5504 at m=22016),
+      (d) fits the WHOLE scoped-VMEM working set — double-buffered packed
+          tile + activation tile + output tile — under ~14 MB of the 16 MB
+          budget. At decode (tile_b=8) this never binds; at prefill
+          (tile_b=128, d=4096, m=22016) the old rule's 5504 tile overflowed
+          by 0.3 MB ("Scoped allocation ... exceeded scoped vmem limit",
+          observed on v5e when the B=512 forward first compiled).
 
     Falls back to the small-shape heuristic (any divisor of m under the
     VMEM budget; Mosaic pads odd tiles) so e.g. m=160 still lowers."""
-    packed_ok = lambda t: d * t * bits <= 8 * 6e6
+    def packed_ok(t):
+        packed = d * t * bits / 8
+        working = 2 * packed + 4 * tile_b * d + 4 * t * tile_b
+        return packed <= 6e6 and working <= 14e6
+
     best = 0
     for t in range(128, m // 4 + 1, 128):
         if m % t == 0 and packed_ok(t):
@@ -177,9 +187,11 @@ def _dequant_matmul_local(
     out_dtype = out_dtype or x.dtype
     splits = PLANE_SPLITS[bits]
     assert len(planes) == len(splits), (len(planes), bits)
-    tile_m = tile_m if tile_m is not None else default_tile_m(m, d, bits)
+    tb_resolved = tile_b if tile_b is not None else _default_tile_b(B)
+    tile_m = tile_m if tile_m is not None else default_tile_m(
+        m, d, bits, tile_b=tb_resolved)
     tile_m = min(tile_m, m)
-    tile_b = tile_b if tile_b is not None else _default_tile_b(B)
+    tile_b = tb_resolved
     assert m % tile_m == 0, f"m={m} must be divisible by tile_m={tile_m}"
     assert B % tile_b == 0, f"B={B} must be divisible by tile_b={tile_b}"
     grid = (B // tile_b, m // tile_m)

@@ -432,26 +432,129 @@ def paged_append_step(params, tokens: jax.Array, caches: PagedKV,
                 prefix_l = (rest[0], rest[1], rest[2], rest[3])
             else:
                 prefix_l = (rest[0], rest[1], None, None)
-        h = M.norm(bp["ln1"], x, cfg) if cfg.do_layer_norm_before else x
-        a, hot_l = _paged_attention(bp["attn"], h, cfg, l, caches,
-                                    (hk, hv, hks, hvs), positions, rope_cs,
-                                    page, prefix_l=prefix_l,
-                                    pre_len=pre_len)
-        x = x + a
-        if not cfg.do_layer_norm_before:
-            x = M.norm(bp["ln1"], x, cfg)
-        res = x
-        h = M.norm(bp["ln2"], x, cfg) if cfg.do_layer_norm_before else x
-        m = M.mlp(bp["mlp"], h, cfg)
-        x = res + m
-        if not cfg.do_layer_norm_before:
-            x = M.norm(bp["ln2"], x, cfg)
+        x, hot_l = _block_step(bp, x, l, caches, (hk, hv, hks, hvs),
+                               positions, rope_cs, cfg, page, prefix_l,
+                               pre_len)
         return (x, l + 1), hot_l
 
     (x, _), hot_ys = lax.scan(body, (x, jnp.zeros((), jnp.int32)), xs)
     logits = M.unembed(params, x, cfg)
     hk, hv, hks, hvs = hot_ys
     return logits, Hot(hk, hv, caches.hot_len + S, hks, hvs)
+
+
+def _block_step(bp, x, l, caches, hot_l, positions, rope_cs, cfg, page,
+                prefix_l, pre_len):
+    """One decoder block against the paged cache (shared by the scan and
+    unrolled step forms). Returns (x, new hot_l)."""
+    h = M.norm(bp["ln1"], x, cfg) if cfg.do_layer_norm_before else x
+    a, hot_l = _paged_attention(bp["attn"], h, cfg, l, caches, hot_l,
+                                positions, rope_cs, page,
+                                prefix_l=prefix_l, pre_len=pre_len)
+    x = x + a
+    if not cfg.do_layer_norm_before:
+        x = M.norm(bp["ln1"], x, cfg)
+    res = x
+    h = M.norm(bp["ln2"], x, cfg) if cfg.do_layer_norm_before else x
+    m = M.mlp(bp["mlp"], h, cfg)
+    x = res + m
+    if not cfg.do_layer_norm_before:
+        x = M.norm(bp["ln2"], x, cfg)
+    return x, hot_l
+
+
+def split_blocks(params) -> Tuple[dict, tuple]:
+    """Pre-split the stacked block tree into per-layer trees (ONCE, at
+    load time, outside jit).
+
+    Why: `lax.scan` over stacked weights dynamic-slices every leaf per
+    iteration, and XLA MATERIALIZES those slices — a full extra HBM copy
+    of each layer's packed weights per decode step (~50 MB/layer at 7B,
+    measured as the dominant non-kernel cost: scan 170.0 vs unrolled
+    254.0 tok/s, scripts/bench_session2.py, docs/PERF.md). Per-layer
+    trees passed as separate jit arguments index statically — no copies.
+
+    Returns (misc_params, layers): misc keeps embed/final_ln/lm_head (and
+    everything else non-block); layers is a tuple of per-layer trees.
+    """
+    L = None
+    for leaf in jax.tree.leaves(params["blocks"]):
+        L = leaf.shape[0]
+        break
+    layers = tuple(
+        jax.tree.map(lambda p, i=i: p[i], params["blocks"])
+        for i in range(L))
+    misc = {k: v for k, v in params.items() if k != "blocks"}
+    return misc, layers
+
+
+def paged_append_step_unrolled(misc, layers, tokens: jax.Array,
+                               caches: PagedKV, cfg: ModelConfig, *,
+                               page: int = 256,
+                               prefix: Optional[Prefix] = None,
+                               prefix_on: Optional[jax.Array] = None
+                               ) -> Tuple[jax.Array, Hot]:
+    """paged_append_step with a python loop over pre-split layer trees
+    (see split_blocks). Semantics identical to the scan form
+    (tests/test_paged.py::test_unrolled_step_matches_scan); ~1.5x decode
+    throughput at 7B because the per-layer weight-slice copies vanish."""
+    if caches.capacity % page:
+        raise ValueError(
+            f"capacity {caches.capacity} must be a multiple of page {page} "
+            f"(init_paged(..., page=...) rounds it up)")
+    B, S = tokens.shape
+    if prefix is not None:
+        on = (jnp.ones((B,), jnp.int32) if prefix_on is None
+              else prefix_on.astype(jnp.int32))
+        pre_len = on * jnp.asarray(prefix.length, jnp.int32)
+    else:
+        pre_len = None
+    pos0 = caches.base + caches.hot_len
+    if pre_len is not None:
+        pos0 = pos0 + pre_len
+    positions = pos0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    x = M.embed(misc, tokens, cfg, positions)
+    rope_cs = (M.rope_tables(cfg, positions)
+               if cfg.positions == "rope" else None)
+    quantized = caches.quantized
+
+    hot_out = {"k": [], "v": [], "ks": [], "vs": []}
+    for l, bp in enumerate(layers):
+        hot_l = (caches.hot_k[l], caches.hot_v[l],
+                 caches.hot_ks[l] if quantized else None,
+                 caches.hot_vs[l] if quantized else None)
+        prefix_l = None
+        if prefix is not None:
+            prefix_l = (prefix.k[l], prefix.v[l],
+                        prefix.ks[l] if prefix.ks is not None else None,
+                        prefix.vs[l] if prefix.vs is not None else None)
+        x, hot_l = _block_step(bp, x, jnp.int32(l), caches, hot_l,
+                               positions, rope_cs, cfg, page, prefix_l,
+                               pre_len)
+        hot_out["k"].append(hot_l[0])
+        hot_out["v"].append(hot_l[1])
+        hot_out["ks"].append(hot_l[2])
+        hot_out["vs"].append(hot_l[3])
+
+    logits = M.unembed(misc, x, cfg)
+    return logits, Hot(
+        jnp.stack(hot_out["k"]), jnp.stack(hot_out["v"]),
+        caches.hot_len + S,
+        jnp.stack(hot_out["ks"]) if quantized else None,
+        jnp.stack(hot_out["vs"]) if quantized else None)
+
+
+def paged_decode_step_unrolled(misc, layers, tokens: jax.Array,
+                               caches: PagedKV, cfg: ModelConfig, *,
+                               page: int = 256,
+                               prefix: Optional[Prefix] = None,
+                               prefix_on: Optional[jax.Array] = None
+                               ) -> Tuple[jax.Array, Hot]:
+    """One decode token per slot, unrolled layer loop (see split_blocks)."""
+    logits, hot = paged_append_step_unrolled(
+        misc, layers, tokens, caches, cfg, page=page, prefix=prefix,
+        prefix_on=prefix_on)
+    return logits[:, -1, :], hot
 
 
 def paged_decode_step(params, tokens: jax.Array, caches: PagedKV,

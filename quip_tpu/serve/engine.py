@@ -472,17 +472,31 @@ class Engine:
         self._base = np.zeros(max_batch, np.int32)
         self._hotlen = np.zeros(max_batch, np.int32)
 
-        self._decode_paged = jax.jit(
-            lambda params, tokens, caches, prefix, pre_on:
-            PG.paged_decode_step(params, tokens, caches, cfg, page=page,
-                                 prefix=prefix, prefix_on=pre_on))
+        # UNROLLED layer loop with pre-split per-layer trees: the scan
+        # form dynamic-slices every stacked weight leaf per layer and XLA
+        # materializes those slices before the (fusion-opaque) Pallas
+        # calls — a full extra weight copy per step (scan 170 vs unrolled
+        # 254 tok/s at 7B 2-bit, docs/PERF.md round 2). Split ONCE here;
+        # the public call signatures keep `params` (ignored by the shims)
+        # so every caller/jit cache stays unchanged.
+        self._tsplit = PG.split_blocks(self.params)
+        _decode_u = jax.jit(
+            lambda misc, layers, tokens, caches, prefix, pre_on:
+            PG.paged_decode_step_unrolled(misc, layers, tokens, caches,
+                                          cfg, page=page, prefix=prefix,
+                                          prefix_on=pre_on))
+        self._decode_paged = (
+            lambda params, *a: _decode_u(*self._tsplit, *a))
         # multi-token append: chunked-prefill admission for shared-prefix
         # requests (prompt tokens must attend the prefix, so they stream
         # through the hot ring instead of the plain prefill path)
-        self._append_paged = jax.jit(
-            lambda params, tokens, caches, prefix, pre_on:
-            PG.paged_append_step(params, tokens, caches, cfg, page=page,
-                                 prefix=prefix, prefix_on=pre_on))
+        _append_u = jax.jit(
+            lambda misc, layers, tokens, caches, prefix, pre_on:
+            PG.paged_append_step_unrolled(misc, layers, tokens, caches,
+                                          cfg, page=page, prefix=prefix,
+                                          prefix_on=pre_on))
+        self._append_paged = (
+            lambda params, *a: _append_u(*self._tsplit, *a))
         # donate the cache pytrees: on this runtime donation aliases MEMORY
         # (halves the flush/prefill working set — a 13B b32 bf16 engine OOMs
         # without it) even though updates still cost copy time
@@ -496,13 +510,13 @@ class Engine:
         # chunked decode with in-graph sampling: the scan carries only the
         # hot ring (O(hot) per iteration), unlike the arena decode_chunk
         # whose carries copy the whole cache on no-donation runtimes
-        def decode_chunk_paged(params, tokens, caches, prefix, pre_on,
-                               key, temps, top_ps, n_steps, top_k):
+        def decode_chunk_paged(misc, layers, tokens, caches, prefix,
+                               pre_on, key, temps, top_ps, n_steps, top_k):
             def body(carry, _):
                 tok, hot_s, key = carry
-                logits, hot_s = PG.paged_decode_step(
-                    params, tok, PG.advance(caches, hot_s), cfg, page=page,
-                    prefix=prefix, prefix_on=pre_on)
+                logits, hot_s = PG.paged_decode_step_unrolled(
+                    misc, layers, tok, PG.advance(caches, hot_s), cfg,
+                    page=page, prefix=prefix, prefix_on=pre_on)
                 key, sk = jax.random.split(key)
                 t = _sample(sk, logits, temps, top_k,
                             top_ps).astype(jnp.int32)
@@ -514,8 +528,10 @@ class Engine:
                                            length=n_steps)
             return toks.T, hot_s
 
-        self._decode_chunk_paged = jax.jit(
+        _chunk_u = jax.jit(
             decode_chunk_paged, static_argnames=("n_steps", "top_k"))
+        self._decode_chunk_paged = (
+            lambda params, *a, **kw: _chunk_u(*self._tsplit, *a, **kw))
 
     def _sync_pkv(self):
         """Paged cache with the host-authoritative cursors pushed in."""

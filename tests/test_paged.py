@@ -258,3 +258,62 @@ def test_paged_append_gqa_int8():
     # int8 KV: the PROMPT keys are quantized here (unlike the fp teacher),
     # so compare greedy tokens rather than exact logits
     np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_unrolled_step_matches_scan(quantized):
+    """paged_append_step_unrolled (pre-split layer trees, python loop —
+    the serving hot path after docs/PERF.md round 2) is numerically
+    identical to the lax.scan form, incl. int8 KV and multi-token
+    windows."""
+    cfg = get_config("llama-tiny")
+    params = _params(cfg)
+    B, S = 2, 3
+    caches = P.init_paged(B, 32, cfg, dtype=jnp.float32,
+                          quantized=quantized, hot=8, page=8)
+    caches = caches._replace(base=jnp.asarray([5, 9], jnp.int32))
+    tokens = jax.random.randint(jax.random.key(2), (B, S), 0,
+                                cfg.vocab_size)
+
+    want_logits, want_hot = jax.jit(
+        lambda p, t, c: P.paged_append_step(p, t, c, cfg, page=8))(
+            params, tokens, caches)
+
+    misc, layers = P.split_blocks(params)
+    got_logits, got_hot = jax.jit(
+        lambda m, ls, t, c: P.paged_append_step_unrolled(
+            m, ls, t, c, cfg, page=8))(misc, layers, tokens, caches)
+
+    np.testing.assert_allclose(np.asarray(got_logits, np.float32),
+                               np.asarray(want_logits, np.float32),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(got_hot), jax.tree.leaves(want_hot)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_unrolled_step_with_prefix():
+    """Shared-prefix decode through the unrolled form."""
+    cfg = get_config("llama-tiny")
+    params = _params(cfg)
+    pre_tokens = jnp.arange(1, 7, dtype=jnp.int32)
+    _, prefix = P.build_prefix(params, pre_tokens, cfg)
+    B = 2
+    caches = P.init_paged(B, 32, cfg, dtype=jnp.float32, hot=8, page=8)
+    tokens = jax.random.randint(jax.random.key(3), (B, 1), 0,
+                                cfg.vocab_size)
+    on = jnp.asarray([1, 0], jnp.int32)
+
+    want, want_hot = jax.jit(
+        lambda p, t, c: P.paged_decode_step(p, t, c, cfg, page=8,
+                                            prefix=prefix, prefix_on=on))(
+        params, tokens, caches)
+    misc, layers = P.split_blocks(params)
+    got, got_hot = jax.jit(
+        lambda m, ls, t, c: P.paged_decode_step_unrolled(
+            m, ls, t, c, cfg, page=8, prefix=prefix, prefix_on=on))(
+        misc, layers, tokens, caches)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-5, atol=1e-5)
