@@ -144,7 +144,10 @@ def _dense_baseline(cfg, label, steps, on_tpu):
     dense = M.init_params(jax.random.key(0), cfg)
     print(f"# built dense in {_t.time()-_t0:.0f}s", file=sys.stderr)
     _t0 = _t.time()
-    tps = bench_decode(dense, cfg, steps=steps)
+    # unroll=False: dense matmuls FUSE the scan's weight slices (no copy
+    # to kill), and split_blocks would transiently double 13.5 GB of
+    # weights past HBM
+    tps = bench_decode(dense, cfg, steps=steps, unroll=False)
     print(f"# dense bench {_t.time()-_t0:.0f}s: {tps:.1f} tok/s",
           file=sys.stderr)
     del dense

@@ -320,6 +320,10 @@ class Engine:
                                                 spec_sample_step)
         PG = self._PG
         self.draft_params, self.draft_cfg = draft
+        # pre-split per-layer trees for the unrolled step forms
+        # (paged.split_blocks — the scan form re-copies every layer's
+        # weights per step; self._tsplit was built in _init_paged)
+        self._dsplit = PG.as_split(self.draft_params)
         self.spec_k = spec_k
         cap = self.pkv.capacity
         self.dkv = PG.init_paged(self.max_batch, cap, self.draft_cfg,
@@ -336,7 +340,7 @@ class Engine:
             # the draft cache (its logits are discarded)
             self._append_draft = jax.jit(
                 lambda params, tokens, caches, prefix, pre_on:
-                PG.paged_append_step(params, tokens, caches, cfg_d,
+                PG.paged_append_any(params, tokens, caches, cfg_d,
                                      page=page, prefix=prefix,
                                      prefix_on=pre_on))
         self._spec_step = jax.jit(
@@ -681,7 +685,7 @@ class Engine:
             if self.spec:
                 dcaches = self._sync_dkv()
                 _, d_hot = self._append_draft(
-                    self.draft_params, jnp.asarray(window), dcaches,
+                    self._dsplit, jnp.asarray(window), dcaches,
                     self.dprefix, _snapshot(self._prefix_on))
                 self.dkv = self._PG.advance(dcaches, d_hot)
             self._hotlen[i] += n           # only this slot really advanced
@@ -767,7 +771,7 @@ class Engine:
         if sampling:
             self.key, sk = jax.random.split(self.key)
             emitted, n_emit, d_hot, t_hot = self._spec_sample_step(
-                self.draft_params, self.params, jnp.asarray(last),
+                self._dsplit, self._tsplit, jnp.asarray(last),
                 self._sync_dkv(), self._sync_pkv(),
                 *self._spec_prefix_args(), sk,
                 jnp.asarray(temps),
@@ -775,7 +779,7 @@ class Engine:
                 jnp.asarray(tps) if (tps < 1.0).any() else None)
         else:
             emitted, n_emit, d_hot, t_hot = self._spec_step(
-                self.draft_params, self.params, jnp.asarray(last),
+                self._dsplit, self._tsplit, jnp.asarray(last),
                 self._sync_dkv(), self._sync_pkv(),
                 *self._spec_prefix_args())
         self.dkv = self._PG.advance(self.dkv, d_hot)
@@ -904,7 +908,7 @@ class Engine:
         self.key, sk = jax.random.split(self.key)
         sampling = (temps > 0).any()
         ems, nes, d_hot, t_hot = self._spec_chunk(
-            self.draft_params, self.params, jnp.asarray(last),
+            self._dsplit, self._tsplit, jnp.asarray(last),
             self._sync_dkv(), self._sync_pkv(),
             *self._spec_prefix_args(), sk,
             jnp.asarray(temps) if sampling else None,

@@ -59,7 +59,7 @@ def spec_decode_step(draft_params, target_params, tokens: jax.Array,
     # 1) draft proposes K tokens greedily (writes its own K/V as it goes)
     def draft_body(carry, _):
         tok, hot = carry
-        logits, hot = PG.paged_decode_step(
+        logits, hot = PG.paged_decode_any(
             draft_params, tok, PG.advance(dcaches, hot), cfg_d, page=page,
             prefix=d_prefix, prefix_on=prefix_on)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
@@ -73,7 +73,7 @@ def spec_decode_step(draft_params, target_params, tokens: jax.Array,
 
     # 2) target scores the window [t0, d_1..d_{K-1}] in one append
     window = jnp.concatenate([tokens, drafts[:, : K - 1]], axis=1)  # (B, K)
-    t_logits, t_hot = PG.paged_append_step(target_params, window, tcaches,
+    t_logits, t_hot = PG.paged_append_any(target_params, window, tcaches,
                                            cfg_t, page=page,
                                            prefix=t_prefix,
                                            prefix_on=prefix_on)
@@ -114,6 +114,9 @@ class SpecDecoder:
         self.K, self.page, self.hot = K, page, hot
         self.cfg_d, self.cfg_t = cfg_d, cfg_t
         self.draft_params, self.target_params = draft_params, target_params
+        # unrolled step forms want pre-split per-layer trees (paged.py)
+        self._dsplit = PG.as_split(draft_params)
+        self._tsplit = PG.as_split(target_params)
         self.max_seq = max_seq
         cap = max_seq + hot
         self.dc = PG.init_paged(batch, cap, cfg_d, dtype=cache_dtype,
@@ -155,7 +158,7 @@ class SpecDecoder:
                 self.dc = self._flush(self.dc)
                 self.tc = self._flush(self.tc)
             emitted, n_emit, d_hot, t_hot = self._step(
-                self.draft_params, self.target_params, tok, self.dc,
+                self._dsplit, self._tsplit, tok, self.dc,
                 self.tc)
             self.dc = PG.advance(self.dc, d_hot)
             self.tc = PG.advance(self.tc, t_hot)
@@ -280,7 +283,7 @@ def spec_sample_step(draft_params, target_params, tokens: jax.Array,
 
     def draft_body(carry, sk):
         tok, hot = carry
-        logits, hot = PG.paged_decode_step(
+        logits, hot = PG.paged_decode_any(
             draft_params, tok, PG.advance(dcaches, hot), cfg_d, page=page,
             prefix=d_prefix, prefix_on=prefix_on)
         qd = spec_dist(logits, temps, top_ks, top_ps)
@@ -297,7 +300,7 @@ def spec_sample_step(draft_params, target_params, tokens: jax.Array,
     q = jnp.transpose(qs, (1, 0, 2))               # (B, K, V)
 
     window = jnp.concatenate([tokens, drafts[:, : K - 1]], axis=1)
-    t_logits, t_hot = PG.paged_append_step(target_params, window, tcaches,
+    t_logits, t_hot = PG.paged_append_any(target_params, window, tcaches,
                                            cfg_t, page=page,
                                            prefix=t_prefix,
                                            prefix_on=prefix_on)
