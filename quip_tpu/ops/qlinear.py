@@ -102,13 +102,20 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
             y = y + q.bias.astype(y.dtype)
         return y.reshape(*lead, q.out_features)
 
-    if q.scaleWH is not None:
+    # Folded fast path (serving default): rot carries vin = signs_V/scaleWH,
+    # so the diagonal un-scale + V-side sign flip are ONE VPU pass. Swapping
+    # vin in as the RHT signs vector is exact up to dtype rounding.
+    folded = (q.proj_mode == "rht" and q.rot is not None
+              and isinstance(q.rot, dict) and "vin" in q.rot)
+    if q.scaleWH is not None and not folded:
         x2 = x2 / q.scaleWH.astype(x2.dtype)[None, :]
 
     if q.proj_key is not None:
         if q.rot is not None:
             from quip_tpu.pack.format import rot_to_butterflies
             U, V = rot_to_butterflies(q, dtype=x2.dtype)
+            if folded:
+                V = V._replace(signs=q.rot["vin"])
         else:
             # fallback: regenerate from the key. NOTE: inside a jitted hot
             # loop this puts QR sampling on the device per call — always

@@ -205,11 +205,16 @@ class PackedLinear:
 
 
 def materialize_rotation(proj_key, m: int, d: int, mode: str,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, scaleWH=None):
     """Build the runtime rotation components (small arrays) from the
     checkpoint key — done once, outside any hot loop.
 
-    mode 'rht': {'u': (signs, left, right|()), 'v': ...} (permutation-free).
+    mode 'rht': {'u': (signs, left, right|()), 'v': ...} (permutation-free),
+    plus 'vin' = signs_V / scaleWH — the diagonal un-scale and the V-side
+    sign flip folded into ONE vector so the decode hot path pays a single
+    VPU pass instead of two (docs/PERF.md round-2 roadmap item). Loaders of
+    older checkpoints may lack 'vin'; qlinear_apply falls back to the
+    two-pass form.
     butterfly modes: {'u': (blocks, perm_in, perm_out), 'v': ...}.
     """
     from quip_tpu.core import incoherence as inc
@@ -220,9 +225,12 @@ def materialize_rotation(proj_key, m: int, d: int, mode: str,
     if mode == "rht":
         U = inc.gen_rht(ku, m, dtype)
         V = inc.gen_rht(kv, d, dtype)
+        vin = V.signs if scaleWH is None \
+            else V.signs / scaleWH.astype(V.signs.dtype)
         return {
             "u": (U.signs, U.left, () if U.right is None else U.right),
             "v": (V.signs, V.left, () if V.right is None else V.right),
+            "vin": vin,
         }
     U = inc.gen_butterfly(ku, m, mode, dtype)
     V = inc.gen_butterfly(kv, d, mode, dtype)
@@ -276,5 +284,6 @@ def pack_layer_result(res, bits: int,
         proj_mode=st.proj_mode,
         out_features=m,
         in_features=d,
-        rot=materialize_rotation(st.proj_key, m, d, st.proj_mode),
+        rot=materialize_rotation(st.proj_key, m, d, st.proj_mode,
+                                 scaleWH=st.scaleWH),
     )

@@ -235,3 +235,33 @@ def test_checkpoint_bf16_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded["w"], np.float32),
                                   np.asarray(tree["w"], np.float32))
     assert loaded["b"].dtype == jnp.int32
+
+
+def test_qlinear_vin_fold_matches_legacy_rot(rng):
+    """The folded vin = signs_V/scaleWH fast path must match a legacy rot
+    dict (pre-fold checkpoints) that lacks the 'vin' entry."""
+    m, d = 64, 96
+    W = jnp.asarray(rng.standard_normal((m, d)))
+    H = jnp.asarray(make_psd_hessian(rng, d))
+    cfg = QuantConfig.incoherence(wbits=2, method="ldlq")
+    res = quantize_layer(W, H, cfg, jax.random.key(3))
+    packed = pack_layer_result(res, 2)
+    assert packed.rot is not None and "vin" in packed.rot
+
+    legacy_rot = {k: v for k, v in packed.rot.items() if k != "vin"}
+    legacy = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(packed),
+        jax.tree_util.tree_leaves(packed))
+    legacy.rot = legacy_rot
+
+    x = jnp.asarray(rng.standard_normal((5, d)))
+    y_fold = qlinear_apply(packed, x, use_kernel=False)
+    y_legacy = qlinear_apply(legacy, x, use_kernel=False)
+    # The two paths differ only in rounding order (x*(s/w) vs (x/w)*s), but
+    # the packed matmul's bf16 activation cast can flip on that 1-ulp
+    # perturbation, so compare at bf16-output precision like the dense test.
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_legacy),
+                               rtol=1e-4, atol=1e-5)
+    y_dense = x @ res.W_hat.T
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_dense),
+                               rtol=1e-4, atol=1e-5)
