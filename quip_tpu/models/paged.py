@@ -488,6 +488,57 @@ def split_blocks(params) -> Tuple[dict, tuple]:
     return misc, layers
 
 
+class Split(NamedTuple):
+    """Pre-split param form (see split_blocks): misc (non-block leaves) +
+    a tuple of per-layer block trees. A NamedTuple, so it passes through
+    jit as an ordinary pytree argument; paged_*_any dispatch on it."""
+    misc: dict
+    layers: tuple
+
+
+def as_split(params) -> Split:
+    """params -> Split (idempotent). Engine/speculative call this once at
+    load time so their step functions run the unrolled layer loop — the
+    scan form's per-iteration weight-slice copies cost ~1.5x decode
+    throughput at 7B (split_blocks docstring, docs/PERF.md round 2)."""
+    if isinstance(params, Split):
+        return params
+    return Split(*split_blocks(params))
+
+
+def paged_decode_any(params, tokens: jax.Array, caches: PagedKV,
+                     cfg: ModelConfig, *, page: int = 256,
+                     prefix: Optional[Prefix] = None,
+                     prefix_on: Optional[jax.Array] = None
+                     ) -> Tuple[jax.Array, Hot]:
+    """paged_decode_step that accepts stacked params OR a Split (unrolled
+    layer loop). Lets one step function serve both forms — speculative
+    draft/target and engine paths pass whatever they pre-built."""
+    if isinstance(params, Split):
+        return paged_decode_step_unrolled(params.misc, params.layers,
+                                          tokens, caches, cfg, page=page,
+                                          prefix=prefix,
+                                          prefix_on=prefix_on)
+    return paged_decode_step(params, tokens, caches, cfg, page=page,
+                             prefix=prefix, prefix_on=prefix_on)
+
+
+def paged_append_any(params, tokens: jax.Array, caches: PagedKV,
+                     cfg: ModelConfig, *, page: int = 256,
+                     prefix: Optional[Prefix] = None,
+                     prefix_on: Optional[jax.Array] = None
+                     ) -> Tuple[jax.Array, Hot]:
+    """paged_append_step over stacked params OR a Split (see
+    paged_decode_any)."""
+    if isinstance(params, Split):
+        return paged_append_step_unrolled(params.misc, params.layers,
+                                          tokens, caches, cfg, page=page,
+                                          prefix=prefix,
+                                          prefix_on=prefix_on)
+    return paged_append_step(params, tokens, caches, cfg, page=page,
+                             prefix=prefix, prefix_on=prefix_on)
+
+
 def paged_append_step_unrolled(misc, layers, tokens: jax.Array,
                                caches: PagedKV, cfg: ModelConfig, *,
                                page: int = 256,

@@ -483,7 +483,10 @@ class Engine:
         # 254 tok/s at 7B 2-bit, docs/PERF.md round 2). Split ONCE here;
         # the public call signatures keep `params` (ignored by the shims)
         # so every caller/jit cache stays unchanged.
-        self._tsplit = PG.split_blocks(self.params)
+        # as_split returns the Split NamedTuple the paged_*_any dispatchers
+        # recognize (spec paths pass _tsplit WHOLE); splatting it
+        # (*self._tsplit) still yields (misc, layers) for the _u shims.
+        self._tsplit = PG.as_split(self.params)
         _decode_u = jax.jit(
             lambda misc, layers, tokens, caches, prefix, pre_on:
             PG.paged_decode_step_unrolled(misc, layers, tokens, caches,
