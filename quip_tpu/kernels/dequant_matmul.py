@@ -137,6 +137,20 @@ def default_tile_m(m: int, d: int, bits: int = 2, tile_b: int = 8) -> int:
         working = 2 * packed + 4 * tile_b * d + 4 * t * tile_b
         return packed <= 6e6 and working <= 14e6
 
+    # Preferred band (tile sweep 2026-08-20, scripts/bench_tiles.py): packed
+    # tiles ~1-4 MB with 4-16 grid steps run 640-665 GB/s; ~5.6 MB tiles
+    # (22016's only mid-size divisor, 5504) drop to ~530-590. Prefer the
+    # band when the shape offers it; fall back to the old <=6 MB rule
+    # otherwise (22016 itself has no band divisor — 512 measured worse at
+    # 43 steps; pack-time m-padding to 22528 is what makes the band
+    # reachable, pack/format.py::padded_m).
+    best = 0
+    for t in range(128, m // 4 + 1, 128):
+        if m % t == 0 and packed_ok(t) \
+                and d * t * bits / 8 <= 4e6 and m // t <= 16:
+            best = t
+    if best:
+        return best
     best = 0
     for t in range(128, m // 4 + 1, 128):
         if m % t == 0 and packed_ok(t):

@@ -49,19 +49,24 @@ def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: Optional[int],
     use = _use_pallas() if use_kernel is None else use_kernel
     scale = q.scale_b if q.qfn == "b" else q.scale
     zero = None if q.qfn == "b" else q.zero
+    m_planes = q.planes[0].shape[-1]       # may exceed out_features (padded_m)
     if use:
         B = x2.shape[0]
         pad = (-B) % 8
         if pad:
             x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-        tm = None if tile_m is None else min(tile_m, q.out_features)
+        tm = None if tile_m is None else min(tile_m, m_planes)
         interp = _kernel_interpret() and jax.default_backend() != "tpu"
         out = dequant_matmul(x2, q.planes, scale, zero, bits=q.bits,
                              qfn=q.qfn, tile_m=tm, interpret=interp,
                              partitioned=None if not interp else True)
-        return out[:B] if pad else out
-    return dequant_matmul_ref(x2, q.planes, scale, zero, bits=q.bits,
-                              qfn=q.qfn)
+    else:
+        out = dequant_matmul_ref(x2, q.planes, scale, zero, bits=q.bits,
+                                 qfn=q.qfn)
+        pad = 0
+    if m_planes != q.out_features:
+        out = out[:, : q.out_features]     # padded_m tiling rows are dead
+    return out[: x2.shape[0] - pad] if pad else out
 
 
 def qlinear_apply(q: PackedLinear, x: jax.Array, *,

@@ -84,6 +84,41 @@ def _unpack_plane(words: jax.Array, bits: int, d: int) -> jax.Array:
     return c.reshape(d, words.shape[-1]).T.astype(jnp.int32)
 
 
+def padded_m(m: int, d: int, bits: int) -> int:
+    """Smallest lane-aligned out-feature pad (<= ~2.5%) that puts a kernel
+    m-tile in the measured fast band — packed tile ~1.5-3.5 MB with 4-16
+    grid steps (scripts/bench_tiles.py 2026-08-20: those run 640-665 GB/s
+    on v5e; the ~5.6 MB tiles drop to ~530-590).
+
+    The one production shape that needs it is Llama's fused gate-up
+    m = 22016 = 43*512, whose only mid-size divisor is 5504 (5.6 MB tile,
+    ~590 GB/s) — padding to 22528 unlocks tile 2816 (2.9 MB, 649 GB/s
+    measured, ~9%% faster wall-clock despite +2.3%% traffic). Padded rows
+    are zero codes; qlinear slices outputs back to ``out_features``.
+
+    QUIP_NO_PAD_M=1 disables (A/B probes)."""
+    import os
+
+    if os.environ.get("QUIP_NO_PAD_M") == "1":
+        return m
+
+    def band(mm: int) -> bool:
+        return any(mm % t == 0
+                   and 1.5e6 <= d * t * bits / 8 <= 3.5e6
+                   and 4 <= mm // t <= 16
+                   for t in range(128, mm // 4 + 1, 128))
+
+    if m % 128 == 0 and band(m):
+        return m
+    cap = m + max(128, int(m * 0.025) // 128 * 128)
+    mm = (m + 127) // 128 * 128
+    while mm <= cap:
+        if band(mm):
+            return mm
+        mm += 128
+    return m
+
+
 def pack_codes(codes: jax.Array, bits: int) -> Tuple[jax.Array, ...]:
     """Pack integer grid codes into halfword-spread transposed planes.
     Returns one (nw, m) int32 plane per PLANE_SPLITS entry."""
@@ -172,6 +207,7 @@ class PackedLinear:
         from quip_tpu.core import incoherence as inc
 
         codes = unpack_codes(self.planes, self.bits, self.in_features)
+        codes = codes[: self.out_features]   # drop padded_m tiling rows
         codes = codes.astype(dtype)
         if self.qfn == "b":
             W = ((codes / self.maxq) * 2 - 1) * self.scale_b.astype(dtype)
@@ -269,6 +305,13 @@ def pack_layer_result(res, bits: int,
         "per-row grids)")
     codes = res.codes.astype(jnp.int32)
     m, d = codes.shape
+    # qfn-b (scalar grid): pad out-features into the kernel's fast tile
+    # band when the true m offers none (padded_m docstring). qfn-a keeps
+    # exact m (its per-row scale/zero would need padding too).
+    if res.qfnb_scale is not None:
+        mp = padded_m(m, d, bits)
+        if mp != m:
+            codes = jnp.pad(codes, ((0, mp - m), (0, 0)))
     planes = pack_codes(codes, bits)
     st = res.preproc
     return PackedLinear(

@@ -265,3 +265,54 @@ def test_qlinear_vin_fold_matches_legacy_rot(rng):
     y_dense = x @ res.W_hat.T
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_dense),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_padded_m_rules():
+    """padded_m targets the measured fast band (scripts/bench_tiles.py):
+    the only 7B shape it touches is fused gate-up 22016 -> 22528."""
+    import os
+
+    from quip_tpu.kernels.dequant_matmul import default_tile_m
+    from quip_tpu.pack.format import padded_m
+
+    # 22400 = 175*128: tile 3200 (3.28 MB, 7 steps) — the same tile config
+    # as the lm_head's measured 638 GB/s winner, at a smaller pad (+1.7%)
+    # than the also-measured 22528/2816 (649 GB/s, +2.3%).
+    assert padded_m(22016, 4096, 2) == 22400
+    assert default_tile_m(22400, 4096) == 3200
+    assert default_tile_m(22528, 4096) == 2816     # the measured winner
+    assert default_tile_m(22016, 4096) == 5504     # unpadded keeps its best
+    # every other 7B decode shape stays exact
+    for m, d in [(4096, 4096), (12288, 4096), (4096, 11008), (32000, 4096)]:
+        assert padded_m(m, d, 2) == m, (m, d)
+    # small test shapes never pad (band needs >=1.5MB packed tiles)
+    assert padded_m(160, 128, 2) == 160
+    os.environ["QUIP_NO_PAD_M"] = "1"
+    try:
+        assert padded_m(22016, 4096, 2) == 22016
+    finally:
+        del os.environ["QUIP_NO_PAD_M"]
+
+
+def test_padded_planes_sliced_to_out_features(rng):
+    """A PackedLinear whose planes carry padded_m rows must behave exactly
+    like the unpadded weights: dequantize drops the pad rows and
+    qlinear_apply slices the matmul output."""
+    m, mp, d = 48, 64, 64
+    codes = rng.integers(0, 4, (m, d)).astype(np.int32)
+    padded = np.zeros((mp, d), np.int32)
+    padded[:m] = codes
+    planes = pack_codes(jnp.asarray(padded), 2)
+    scale_b = jnp.asarray(0.37, jnp.float32)
+    q = PackedLinear(planes, None, None, scale_b, None, None, None,
+                     bits=2, qfn="b", proj_mode="rht",
+                     out_features=m, in_features=d, rot=None)
+    Wd = q.dequantize(jnp.float64)
+    assert Wd.shape == (m, d)
+    want = ((jnp.asarray(codes, jnp.float64) / 3.0) * 2 - 1) * 0.37
+    np.testing.assert_allclose(np.asarray(Wd), np.asarray(want), atol=1e-6)
+    x = jnp.asarray(rng.standard_normal((5, d)))
+    y = qlinear_apply(q, x, use_kernel=False)
+    assert y.shape == (5, m)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ Wd.T),
+                               rtol=1e-4, atol=1e-5)
