@@ -102,21 +102,27 @@ def padded_m(m: int, d: int, bits: int) -> int:
     if os.environ.get("QUIP_NO_PAD_M") == "1":
         return m
 
-    def band(mm: int) -> bool:
-        return any(mm % t == 0
-                   and 1.5e6 <= d * t * bits / 8 <= 3.5e6
-                   and 4 <= mm // t <= 16
-                   for t in range(128, mm // 4 + 1, 128))
+    def band_score(mm: int):
+        """Best in-band tile's distance from the measured sweet spot
+        (~2.9 MB packed — 22528/2816 measured 36.4 µs vs 22400/3200's
+        38.4 on the gate-up shape); None when mm has no band tile."""
+        scores = [abs(d * t * bits / 8 - 2.9e6)
+                  for t in range(128, mm // 4 + 1, 128)
+                  if mm % t == 0 and 1.5e6 <= d * t * bits / 8 <= 3.5e6
+                  and 4 <= mm // t <= 16]
+        return min(scores) if scores else None
 
-    if m % 128 == 0 and band(m):
+    if m % 128 == 0 and band_score(m) is not None:
         return m
     cap = m + max(128, int(m * 0.025) // 128 * 128)
+    best, best_score = m, None
     mm = (m + 127) // 128 * 128
     while mm <= cap:
-        if band(mm):
-            return mm
+        s = band_score(mm)
+        if s is not None and (best_score is None or s < best_score):
+            best, best_score = mm, s
         mm += 128
-    return m
+    return best
 
 
 def pack_codes(codes: jax.Array, bits: int) -> Tuple[jax.Array, ...]:

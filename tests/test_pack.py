@@ -275,11 +275,9 @@ def test_padded_m_rules():
     from quip_tpu.kernels.dequant_matmul import default_tile_m
     from quip_tpu.pack.format import padded_m
 
-    # 22400 = 175*128: tile 3200 (3.28 MB, 7 steps) — the same tile config
-    # as the lm_head's measured 638 GB/s winner, at a smaller pad (+1.7%)
-    # than the also-measured 22528/2816 (649 GB/s, +2.3%).
-    assert padded_m(22016, 4096, 2) == 22400
-    assert default_tile_m(22400, 4096) == 3200
+    # 22528/2816 (2.9 MB tile, 8 steps) measured 36.4 µs vs 22400/3200's
+    # 38.4 and unpadded 5504's 39.1 (scripts/tpu_session_r2b.py micro)
+    assert padded_m(22016, 4096, 2) == 22528
     assert default_tile_m(22528, 4096) == 2816     # the measured winner
     assert default_tile_m(22016, 4096) == 5504     # unpadded keeps its best
     # every other 7B decode shape stays exact
