@@ -99,7 +99,10 @@ def step_costs(packed, cfg, dparams, dcfg, hot, page):
     tps_ = jnp.asarray([0.9], jnp.float32)
 
     # params passed as jit ARGS, not captured constants (a 2.2 GB captured
-    # tree stalls the remote compile helper for many minutes)
+    # tree stalls the remote compile helper for many minutes). Pre-split
+    # per-layer trees = what the Engine passes (unrolled step form).
+    dparams = PG.as_split(dparams)
+    packed = PG.as_split(packed)
     g = jax.jit(lambda dp, tp, tok, dc, tc: spec_decode_step(
         dp, tp, tok, dc, tc, dcfg, cfg, K, page=page)[:2])
     s = jax.jit(lambda dp, tp, tok, dc, tc, key: spec_sample_step(
