@@ -194,6 +194,11 @@ def main():
         # head_bits: the --quant_head serving configuration (packed
         # lm_head; the head matvec dominates the fixed per-step cost)
         packed = _packed_llama(cfg, bits=bits, seed=0, head_bits=bits)
+        if bits == 3:
+            # serving default: 3-in-4 transcode (same codes, single-plane
+            # kernel; the Engine does this at load — pack/format.py)
+            from quip_tpu.pack.format import widen_3bit_tree
+            packed = widen_3bit_tree(packed)
         print(f"# built {bits}-bit packed in {_t.time()-_t0:.0f}s",
               file=sys.stderr)
         _t0 = _t.time()

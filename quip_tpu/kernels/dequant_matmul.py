@@ -178,7 +178,7 @@ def _default_tile_b(B: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "qfn", "tile_m", "tile_b", "interpret",
-                     "out_dtype"),
+                     "out_dtype", "code_bits"),
 )
 def _dequant_matmul_local(
     x: jax.Array,                    # (B, d)
@@ -192,12 +192,18 @@ def _dequant_matmul_local(
     tile_b: Optional[int] = None,
     interpret: bool = False,
     out_dtype=None,
+    code_bits: Optional[int] = None,
 ) -> jax.Array:
     """y = x @ dequant(packed).T — the fused inference hot path (one
-    device's shard; see dequant_matmul for the SPMD-aware entry)."""
+    device's shard; see dequant_matmul for the SPMD-aware entry).
+
+    ``code_bits``: true code width when it differs from the PLANE field
+    width — the 3-in-4 serving transcode (pack/format.py::widen_3bit)
+    stores 3-bit codes in 4-bit fields, so the qfn-b grid midpoint stays
+    maxq = 2**code_bits - 1 = 7."""
     B, d = x.shape
     m = planes[0].shape[-1]
-    maxq = float(2**bits - 1)
+    maxq = float(2**(code_bits or bits) - 1)
     out_dtype = out_dtype or x.dtype
     splits = PLANE_SPLITS[bits]
     assert len(planes) == len(splits), (len(planes), bits)
@@ -287,7 +293,8 @@ def _dequant_matmul_local(
 
 @functools.lru_cache(maxsize=None)
 def _dm_partitioned(nplanes: int, bits: int, qfn: str, out_dtype_name: str,
-                    tile_b: Optional[int], interpret: bool = False):
+                    tile_b: Optional[int], interpret: bool = False,
+                    code_bits: Optional[int] = None):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     out_dtype = jnp.dtype(out_dtype_name)
@@ -300,7 +307,8 @@ def _dm_partitioned(nplanes: int, bits: int, qfn: str, out_dtype_name: str,
             scale, zero = ops[nplanes], ops[nplanes + 1]
         return _dequant_matmul_local(
             x, planes, scale, zero, bits=bits, qfn=qfn, tile_m=None,
-            tile_b=tile_b, interpret=interpret, out_dtype=out_dtype)
+            tile_b=tile_b, interpret=interpret, out_dtype=out_dtype,
+            code_bits=code_bits)
 
     fn = custom_partitioning(_impl)
 
@@ -371,6 +379,7 @@ def dequant_matmul(
     interpret: bool = False,
     out_dtype=None,
     partitioned: Optional[bool] = None,
+    code_bits: Optional[int] = None,
 ) -> jax.Array:
     """y = x @ dequant(packed).T — SPMD-aware fused inference entry.
 
@@ -388,10 +397,11 @@ def dequant_matmul(
     if not partitioned or tile_m is not None:
         return _dequant_matmul_local(
             x, planes, scale, zero, bits=bits, qfn=qfn, tile_m=tile_m,
-            tile_b=tile_b, interpret=interpret, out_dtype=out_dtype)
+            tile_b=tile_b, interpret=interpret, out_dtype=out_dtype,
+            code_bits=code_bits)
     m = planes[0].shape[-1]
     fn = _dm_partitioned(len(planes), bits, qfn, jnp.dtype(out_dtype).name,
-                         tile_b, interpret)
+                         tile_b, interpret, code_bits)
     if qfn == "b":
         extra = (jnp.asarray(scale, jnp.float32).reshape(1, 1),)
     else:
@@ -407,13 +417,14 @@ def dequant_matmul_ref(
     *,
     bits: int,
     qfn: str = "b",
+    code_bits: Optional[int] = None,
 ) -> jax.Array:
     """Pure-jnp reference (and CPU fallback) with identical semantics."""
     from quip_tpu.pack.format import unpack_codes
 
     d = x.shape[-1]
     codes = unpack_codes(planes, bits, d).astype(jnp.float32)
-    maxq = float(2**bits - 1)
+    maxq = float(2**(code_bits or bits) - 1)
     if qfn == "b":
         W = ((codes / maxq) * 2 - 1) * jnp.asarray(scale, jnp.float32)
     else:

@@ -59,10 +59,11 @@ def _packed_matmul(q: PackedLinear, x2: jax.Array, tile_m: Optional[int],
         interp = _kernel_interpret() and jax.default_backend() != "tpu"
         out = dequant_matmul(x2, q.planes, scale, zero, bits=q.bits,
                              qfn=q.qfn, tile_m=tm, interpret=interp,
-                             partitioned=None if not interp else True)
+                             partitioned=None if not interp else True,
+                             code_bits=q.code_bits)
     else:
         out = dequant_matmul_ref(x2, q.planes, scale, zero, bits=q.bits,
-                                 qfn=q.qfn)
+                                 qfn=q.qfn, code_bits=q.code_bits)
         pad = 0
     if m_planes != q.out_features:
         out = out[:, : q.out_features]     # padded_m tiling rows are dead

@@ -166,7 +166,8 @@ class PackedLinear:
 
     def __init__(self, planes, scale, zero, scale_b, scaleWH, proj_key,
                  bias, *, bits: int, qfn: str, proj_mode: str,
-                 out_features: int, in_features: int, rot=None):
+                 out_features: int, in_features: int, rot=None,
+                 code_bits=None):
         self.planes = tuple(planes)
         self.scale = scale          # (m, 1) qfn-a scale or None
         self.zero = zero            # (m, 1) qfn-a zero or None
@@ -181,6 +182,11 @@ class PackedLinear:
         # Layout: {'u': (blocks_tuple, perm_in, perm_out), 'v': (...)}
         # (perms may be None in 'nopermute' mode).
         self.rot = rot
+        # code_bits: true code width when the planes store wider fields —
+        # the 3-in-4 serving transcode (widen_3bit) keeps 3-bit codes in
+        # 4-bit planes (single-plane kernel: ~17% faster decode than the
+        # two-plane 3-bit format, at 4/3 the weight traffic). None = bits.
+        self.code_bits = code_bits
         self.bits = bits
         self.qfn = qfn
         self.proj_mode = proj_mode
@@ -192,20 +198,23 @@ class PackedLinear:
         children = (self.planes, self.scale, self.zero, self.scale_b,
                     self.scaleWH, self.proj_key, self.bias, self.rot)
         aux = (self.bits, self.qfn, self.proj_mode, self.out_features,
-               self.in_features)
+               self.in_features, self.code_bits)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         planes, scale, zero, scale_b, scaleWH, proj_key, bias, rot = children
-        bits, qfn, proj_mode, m, d = aux
+        # pre-code_bits checkpoints serialized a 5-tuple aux
+        bits, qfn, proj_mode, m, d = aux[:5]
+        code_bits = aux[5] if len(aux) > 5 else None
         return cls(planes, scale, zero, scale_b, scaleWH, proj_key, bias,
                    bits=bits, qfn=qfn, proj_mode=proj_mode,
-                   out_features=m, in_features=d, rot=rot)
+                   out_features=m, in_features=d, rot=rot,
+                   code_bits=code_bits)
 
     @property
     def maxq(self) -> float:
-        return float(2**self.bits - 1)
+        return float(2**(self.code_bits or self.bits) - 1)
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Reconstruct the dense Ŵ (m, d) in the original space — the
@@ -244,6 +253,53 @@ class PackedLinear:
         return (f"PackedLinear({self.out_features}x{self.in_features}, "
                 f"{self.bits}-bit, qfn={self.qfn!r}, "
                 f"rot={self.proj_key is not None})")
+
+
+def widen_3bit(q: "PackedLinear") -> "PackedLinear":
+    """3-in-4 serving transcode: repack the two-plane 3-bit format (2-bit
+    plane + 1-bit plane) into ONE 4-bit plane holding the same 3-bit codes.
+
+    Why: the 1-bit plane unpacks 16 fields per word — 16 thin MXU dots per
+    m-tile — and measured end-to-end decode at 7B shapes is 165.6 tok/s
+    for two-plane 3-bit vs 193.4 for single-plane 4-bit (bench.py
+    2026-08-20), i.e. the extra dots cost more than the extra 1/3 weight
+    traffic of 4-bit fields. Quality is untouched (identical codes/grid:
+    code_bits keeps maxq = 7). Storage stays 3-bit; widen at load.
+    Works on single and layer-stacked leaves."""
+    if q.bits != 3:
+        return q
+    d = q.in_features
+
+    def one(planes):
+        return pack_codes(unpack_codes(planes, 3, d), 4)
+
+    if q.planes[0].ndim == 3:          # (layers, nw, m) stacked
+        new_planes = jax.vmap(lambda p0, p1: one((p0, p1)))(*q.planes)
+    else:
+        new_planes = one(q.planes)
+    return PackedLinear(new_planes, q.scale, q.zero, q.scale_b, q.scaleWH,
+                        q.proj_key, q.bias, bits=4, qfn=q.qfn,
+                        proj_mode=q.proj_mode, out_features=q.out_features,
+                        in_features=d, rot=q.rot, code_bits=3)
+
+
+def widen_3bit_tree(params):
+    """Apply widen_3bit to every 3-bit PackedLinear leaf of a param tree
+    (Engine/serve default for 3-bit checkpoints; QUIP_NO_WIDEN3=1 keeps
+    the tight two-plane format)."""
+    import os
+
+    if os.environ.get("QUIP_NO_WIDEN3") == "1":
+        return params
+
+    def walk(tree):
+        if isinstance(tree, PackedLinear):
+            return widen_3bit(tree)
+        if isinstance(tree, dict):
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(params)
 
 
 def materialize_rotation(proj_key, m: int, d: int, mode: str,

@@ -182,7 +182,7 @@ def _packed_linear_spec(name: str, q: PackedLinear,
         P(la, "tp") if q.bias is not None else None,
         bits=q.bits, qfn=q.qfn, proj_mode=q.proj_mode,
         out_features=q.out_features, in_features=q.in_features,
-        rot=rot_spec,
+        rot=rot_spec, code_bits=q.code_bits,
     )
 
 

@@ -274,6 +274,13 @@ class Engine:
         greedy decoding; sampling requests (temperature/top-k/top-p) go
         through rejection sampling and are distributed exactly as
         target-only sampling. Implies paged=True."""
+        # 3-in-4 serving transcode: two-plane 3-bit checkpoints repack into
+        # single-plane 4-bit fields at load (same codes/grid; ~17% faster
+        # decode — pack/format.py::widen_3bit; QUIP_NO_WIDEN3=1 opts out).
+        from quip_tpu.pack.format import widen_3bit_tree
+        params = widen_3bit_tree(params)
+        if draft is not None:
+            draft = (widen_3bit_tree(draft[0]), draft[1])
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch

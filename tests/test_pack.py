@@ -314,3 +314,66 @@ def test_padded_planes_sliced_to_out_features(rng):
     assert y.shape == (5, m)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x @ Wd.T),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_widen_3bit_exact(rng):
+    """3-in-4 transcode: identical codes + maxq=7 grid => outputs equal the
+    two-plane 3-bit layer's (same dequantized weights)."""
+    from quip_tpu.pack.format import widen_3bit
+
+    m, d = 64, 96
+    W = jnp.asarray(rng.standard_normal((m, d)))
+    H = jnp.asarray(make_psd_hessian(rng, d))
+    cfg = QuantConfig.incoherence(wbits=3, method="ldlq")
+    res = quantize_layer(W, H, cfg, jax.random.key(5))
+    packed = pack_layer_result(res, 3)
+    wide = widen_3bit(packed)
+    assert wide.bits == 4 and wide.code_bits == 3 and len(wide.planes) == 1
+    np.testing.assert_allclose(np.asarray(wide.dequantize(jnp.float64)),
+                               np.asarray(packed.dequantize(jnp.float64)),
+                               atol=1e-12)
+    x = jnp.asarray(rng.standard_normal((5, d)))
+    y3 = qlinear_apply(packed, x, use_kernel=False)
+    y4 = qlinear_apply(wide, x, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y3), atol=1e-9)
+
+
+def test_widen_3bit_tree_model_and_checkpoint(rng, tmp_path):
+    """Tree-walk widening on a stacked packed model preserves logits, and
+    a widened tree checkpoint round-trips (code_bits aux survives)."""
+    from quip_tpu.models import get_config
+    from quip_tpu.models import model as M
+    from quip_tpu.pack.format import widen_3bit_tree
+    from quip_tpu.pack.model import (load_checkpoint, pack_quantized_model,
+                                     save_checkpoint)
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(9), cfg)
+    rng_t = np.random.default_rng(0)
+    calib = jnp.asarray(rng_t.integers(0, cfg.vocab_size, (4, 32)),
+                        jnp.int32)
+    qcfg = QuantConfig.incoherence(wbits=3, method="ldlq")
+    qparams, art = quantize_model(params, cfg, calib, qcfg,
+                                  jax.random.key(1), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 3)
+    wide = widen_3bit_tree(packed)
+    tokens = jnp.asarray(rng_t.integers(0, cfg.vocab_size, (1, 12)),
+                         jnp.int32)
+    l3 = np.asarray(M.forward(packed, tokens, cfg))
+    l4 = np.asarray(M.forward(wide, tokens, cfg))
+    np.testing.assert_allclose(l4, l3, rtol=1e-5, atol=1e-5)
+
+    path = str(tmp_path / "wide")
+    save_checkpoint(path, wide, {"wbits": 3})
+    loaded, _ = load_checkpoint(path)
+    np.testing.assert_allclose(np.asarray(M.forward(loaded, tokens, cfg)),
+                               l4, atol=1e-6)
+
+    import os
+    os.environ["QUIP_NO_WIDEN3"] = "1"
+    try:
+        same = widen_3bit_tree(packed)
+        assert same is packed
+    finally:
+        del os.environ["QUIP_NO_WIDEN3"]
