@@ -269,14 +269,25 @@ def widen_3bit(q: "PackedLinear") -> "PackedLinear":
     if q.bits != 3:
         return q
     d = q.in_features
+    # Transcode on the HOST, one layer at a time (native/packlib.cpp when
+    # built, numpy otherwise): a device-side unpack materializes the full
+    # int32 code tensor — (32, 22528, 4096)x4B ≈ 12 GB for stacked 7B
+    # gate-up, which OOM'd a 16 GB chip on the first on-chip run.
+    from quip_tpu.pack import native
 
-    def one(planes):
-        return pack_codes(unpack_codes(planes, 3, d), 4)
+    def one(planes_np):
+        return native.pack_np(native.unpack_np(planes_np, 3, d), 4)
 
-    if q.planes[0].ndim == 3:          # (layers, nw, m) stacked
-        new_planes = jax.vmap(lambda p0, p1: one((p0, p1)))(*q.planes)
+    p0 = q.planes[0]
+    if p0.ndim == 3:                   # (layers, nw, m) stacked
+        L = p0.shape[0]
+        per = [one([np.asarray(p[l]) for p in q.planes]) for l in range(L)]
+        new_planes = tuple(
+            jnp.asarray(np.stack([per[l][i] for l in range(L)]))
+            for i in range(len(per[0])))
     else:
-        new_planes = one(q.planes)
+        new_planes = tuple(
+            jnp.asarray(p) for p in one([np.asarray(p) for p in q.planes]))
     return PackedLinear(new_planes, q.scale, q.zero, q.scale_b, q.scaleWH,
                         q.proj_key, q.bias, bits=4, qfn=q.qfn,
                         proj_mode=q.proj_mode, out_features=q.out_features,
