@@ -160,12 +160,57 @@ def _dense_baseline(cfg, label, steps, on_tpu):
     return tps
 
 
-def main():
+def _bench_width(cfg, bits, steps):
+    """Build the packed model at `bits` and measure decode tok/s."""
+    import sys
+    import time as _t
+
     from __graft_entry__ import _packed_llama
+
+    _t0 = _t.time()
+    # head_bits: the --quant_head serving configuration (packed
+    # lm_head; the head matvec dominates the fixed per-step cost)
+    packed = _packed_llama(cfg, bits=bits, seed=0, head_bits=bits)
+    if bits == 3:
+        # serving default: 3-in-4 transcode (same codes, single-plane
+        # kernel; the Engine does this at load — pack/format.py)
+        from quip_tpu.pack.format import widen_3bit_tree
+        packed = widen_3bit_tree(packed)
+    print(f"# built {bits}-bit packed in {_t.time()-_t0:.0f}s",
+          file=sys.stderr, flush=True)
+    _t0 = _t.time()
+    tps = bench_decode(packed, cfg, steps=steps)
+    print(f"# {bits}-bit bench {_t.time()-_t0:.0f}s: {tps:.1f} tok/s",
+          file=sys.stderr, flush=True)
+    del packed
+    gc.collect()
+    return tps
+
+
+def main():
+    """Emit the headline JSON line as EARLY as possible.
+
+    Round-2 post-mortem (VERDICT.md weak #1): bench.py used to print its
+    single JSON line only after dense + 2/3/4-bit all completed, so one
+    relay stall (12-min compile degradation was observed mid-run) or a
+    15-20 min TPU cold start zeroed the whole driver-captured artifact.
+    Now: dense baseline comes from the on-disk cache, the 2-bit leg runs
+    first, and the headline line is printed+flushed IMMEDIATELY after it.
+    The 3/4-bit extras run after, each gated on a wall-clock budget
+    (QUIP_BENCH_BUDGET_S, default 1200 s), and land on a second
+    supplementary JSON line.
+    """
+    import os
+    import sys
+    import time as _t
+
     from quip_tpu.models import get_config
     from quip_tpu.utils import enable_compile_cache
 
     enable_compile_cache()   # re-runs skip the 20-40s per-shape compiles
+
+    t_start = _t.time()
+    budget = float(os.environ.get("QUIP_BENCH_BUDGET_S", "1200"))
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
@@ -173,52 +218,50 @@ def main():
         cfg = replace(get_config("llama-tiny"), dtype="bfloat16")
         label = "llama-tiny"
         steps = 16
-        widths = (2,)
+        extra_widths = ()
     else:
         cfg = replace(get_config("llama-2-7b"), dtype="bfloat16")
         label = "llama2-7b"
         steps = 96
-        widths = (2, 3, 4)      # reference had 3- and 4-bit CUDA paths too
+        extra_widths = (3, 4)   # reference had 3- and 4-bit CUDA paths too
                                 # (quant.py:166-233); report them side by side
-
-    import sys
-    import time as _t
+    if os.environ.get("QUIP_BENCH_WIDTHS"):
+        ws = tuple(int(w) for w
+                   in os.environ["QUIP_BENCH_WIDTHS"].split(","))
+        assert ws[0] == 2, "headline is the 2-bit leg"
+        extra_widths = ws[1:]
 
     # sequential build/bench: dense 7B bf16 (~13.5 GB) and packed (~2.2 GB)
-    # don't fit in HBM together
+    # don't fit in HBM together. The dense number is normally a cache read.
     tps_dense = _dense_baseline(cfg, label, steps, on_tpu)
 
-    tps = {}
-    for bits in widths:
-        _t0 = _t.time()
-        # head_bits: the --quant_head serving configuration (packed
-        # lm_head; the head matvec dominates the fixed per-step cost)
-        packed = _packed_llama(cfg, bits=bits, seed=0, head_bits=bits)
-        if bits == 3:
-            # serving default: 3-in-4 transcode (same codes, single-plane
-            # kernel; the Engine does this at load — pack/format.py)
-            from quip_tpu.pack.format import widen_3bit_tree
-            packed = widen_3bit_tree(packed)
-        print(f"# built {bits}-bit packed in {_t.time()-_t0:.0f}s",
-              file=sys.stderr)
-        _t0 = _t.time()
-        tps[bits] = bench_decode(packed, cfg, steps=steps)
-        print(f"# {bits}-bit bench {_t.time()-_t0:.0f}s: "
-              f"{tps[bits]:.1f} tok/s", file=sys.stderr)
-        del packed
-        gc.collect()
+    tps2 = _bench_width(cfg, 2, steps)
 
-    extra = {"dense_bf16": round(tps_dense, 2)}
-    for bits in widths:
-        if bits != 2:
-            extra[f"{bits}bit"] = round(tps[bits], 2)
+    # THE deliverable — printed the moment the 2-bit measurement exists
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_{label}_2bit",
-        "value": round(tps[2], 2),
+        "value": round(tps2, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tps[2] / tps_dense, 3),
-        "extra": extra,
-    }))
+        "vs_baseline": round(tps2 / tps_dense, 3),
+        "extra": {"dense_bf16": round(tps_dense, 2)},
+    }), flush=True)
+
+    extra = {"dense_bf16": round(tps_dense, 2)}
+    for bits in extra_widths:
+        if _t.time() - t_start > budget:
+            print(f"# budget {budget:.0f}s exceeded — skipping "
+                  f"{bits}-bit leg", file=sys.stderr, flush=True)
+            continue
+        extra[f"{bits}bit"] = round(_bench_width(cfg, bits, steps), 2)
+    if extra_widths:
+        # supplementary line (driver takes the first/headline line above)
+        print(json.dumps({
+            "metric": f"decode_tokens_per_sec_{label}_extras",
+            "value": round(tps2, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(tps2 / tps_dense, 3),
+            "extra": extra,
+        }), flush=True)
 
 
 if __name__ == "__main__":
