@@ -135,23 +135,32 @@ def _spec_for_dense(name: str, ndim: int) -> P:
 
 
 def _packed_linear_spec(name: str, q: PackedLinear,
-                        layer_axis=None) -> PackedLinear:
+                        layer_axis=None, split: bool = False
+                        ) -> PackedLinear:
     """PartitionSpecs for the children of a PackedLinear (same pytree
     shape). Planes are halfword-spread transposed (layers, nwords, m):
     column-parallel shards the out-features (m, last) axis; row-parallel
     shards the packed-words (fan-in, middle) axis. ``layer_axis`` (e.g.
     'pp') additionally shards the stacked-layers leading axis.
 
+    ``split=True``: the leaf is a PER-LAYER tree from paged.split_blocks
+    (no leading layer axis; planes are 2-D) — same rules with the layer
+    axis dropped.
+
     Unstacked packed linears (the --quant_head lm_head: planes are 2-D,
     no layer axis) are replicated — their output-side rotation mixes the
     whole m axis, so a tp shard of the head would force collectives inside
     the un-rotate; the head is read once per step and replication is the
     right default."""
-    if q.planes[0].ndim == 2:
+    if not split and q.planes[0].ndim == 2:
         children, aux = q.tree_flatten()
         return PackedLinear.tree_unflatten(
             aux, jax.tree.map(lambda _: P(), children))
     la = layer_axis
+
+    def drop_la(spec: P) -> P:
+        return P(*spec[1:]) if split else spec
+
     if name in _COL_PARALLEL or name in _ROW_PARALLEL:
         # packed linears are ALWAYS column-parallel (out-features axis):
         # the halfword-spread word axis interleaves fan-in columns, so a
@@ -161,25 +170,25 @@ def _packed_linear_spec(name: str, q: PackedLinear,
         # partitioning runs each device's (nw, m/T) shard locally; GSPMD
         # inserts the (KB-sized at decode) activation gathers around
         # wo/wd instead of the GB-sized plane gathers replication cost.
-        plane = P(la, None, "tp")
-        scale = P(la, "tp", None)
-        svec = P(la)             # scaleWH spans fan-in: replicated
+        plane = drop_la(P(la, None, "tp"))
+        scale = drop_la(P(la, "tp", None))
+        svec = drop_la(P(la))    # scaleWH spans fan-in: replicated
     else:
-        plane = P(la)
-        scale = P(la)
-        svec = P(la)
+        plane = drop_la(P(la))
+        scale = drop_la(P(la))
+        svec = drop_la(P(la))
     rot_spec = None
     if q.rot is not None:
         # butterfly blocks/permutations are tiny: shard only the layer axis
-        rot_spec = jax.tree.map(lambda _: P(la), q.rot)
+        rot_spec = jax.tree.map(lambda _: drop_la(P(la)), q.rot)
     return PackedLinear(
         tuple(plane for _ in q.planes),
         scale if q.scale is not None else None,
         scale if q.zero is not None else None,
-        P(la) if q.scale_b is not None else None,
+        drop_la(P(la)) if q.scale_b is not None else None,
         svec if q.scaleWH is not None else None,
-        P(la) if q.proj_key is not None else None,
-        P(la, "tp") if q.bias is not None else None,
+        drop_la(P(la)) if q.proj_key is not None else None,
+        drop_la(P(la, "tp")) if q.bias is not None else None,
         bits=q.bits, qfn=q.qfn, proj_mode=q.proj_mode,
         out_features=q.out_features, in_features=q.in_features,
         rot=rot_spec, code_bits=q.code_bits,
@@ -253,6 +262,47 @@ def shard_params(params: Dict[str, Any], cfg: ModelConfig,
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, params, specs,
+                        is_leaf=lambda x: x is None)
+
+
+def split_specs(split_params, cfg: ModelConfig):
+    """PartitionSpec trees for a paged.Split (the pre-split unrolled
+    serving form — Engine/bench production path, paged.split_blocks).
+
+    Per-layer block trees get the stacked-block rules with the leading
+    layer axis dropped (column-parallel packed planes shard out-features
+    over 'tp'); misc (embed / final_ln / lm_head) follows param_specs
+    (replicated; a packed --quant_head head replicates, see
+    _packed_linear_spec)."""
+    from quip_tpu.models.paged import Split
+
+    def walk_layer(tree, path):
+        if isinstance(tree, PackedLinear):
+            return _packed_linear_spec(path[-1], tree, split=True)
+        if isinstance(tree, dict):
+            return {k: walk_layer(v, path + (k,)) for k, v in tree.items()}
+        if tree is None:
+            return None
+        # per-layer dense leaf: stacked rule at ndim+1, layer axis dropped
+        sp = _spec_for_dense(path[-1], np.ndim(tree) + 1)
+        return P(*sp[1:]) if len(sp) else P()
+
+    misc_specs = param_specs(split_params.misc, cfg)
+    layer_specs = tuple(walk_layer(l, ("blocks",))
+                        for l in split_params.layers)
+    return Split(misc_specs, layer_specs)
+
+
+def shard_split(split_params, cfg: ModelConfig, mesh: Mesh):
+    """Place a paged.Split on the mesh (see split_specs)."""
+    specs = split_specs(split_params, cfg)
+
+    def place(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, split_params, specs,
                         is_leaf=lambda x: x is None)
 
 

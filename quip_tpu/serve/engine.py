@@ -259,7 +259,7 @@ class Engine:
                  cache_dtype=jnp.float32, kv_quant: bool = False,
                  paged: bool = False, hot: int = 32, page: int = 64,
                  draft=None, spec_k: int = 4, shared_prefix=None,
-                 seed: int = 0):
+                 mesh=None, unroll=None, seed: int = 0):
         """paged=True uses the two-level paged KV cache (models/paged.py):
         per-step cost scales with used context instead of max_seq — the
         right mode when max_seq is provisioned larger than typical requests
@@ -281,6 +281,12 @@ class Engine:
         params = widen_3bit_tree(params)
         if draft is not None:
             draft = (widen_3bit_tree(draft[0]), draft[1])
+        # mesh: a jax.sharding.Mesh with ('dp','tp') axes — serve sharded
+        # (weights column-parallel over tp, KV batch over dp / heads over
+        # tp; parallel/mesh.py rules). Implies paged (the production step).
+        self.mesh = mesh
+        if mesh is not None:
+            paged = True
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -313,8 +319,12 @@ class Engine:
             self._prefix_tokens = np.asarray(shared_prefix, np.int32)
             _, self.prefix = _PG.build_prefix(
                 params, self._prefix_tokens, cfg, quantized=kv_quant)
+            if self.mesh is not None:
+                from quip_tpu.parallel.mesh import shard_prefix
+                self.prefix = shard_prefix(self.prefix, self.mesh)
             self._prefix_on = np.zeros(max_batch, np.int32)
         self.paged = paged
+        self._unroll_arg = unroll
         if paged:
             self._init_paged(cache_dtype, kv_quant, hot, page)
         else:
@@ -336,6 +346,14 @@ class Engine:
         self.dkv = PG.init_paged(self.max_batch, cap, self.draft_cfg,
                                  dtype=cache_dtype, quantized=kv_quant,
                                  hot=self.hot, page=self.page)
+        if self.mesh is not None:
+            from quip_tpu.parallel.mesh import (shard_paged, shard_params,
+                                                shard_split)
+            self.draft_params = shard_params(self.draft_params,
+                                             self.draft_cfg, self.mesh)
+            self._dsplit = shard_split(self._dsplit, self.draft_cfg,
+                                       self.mesh)
+            self.dkv = shard_paged(self.dkv, self.mesh)
         cfg_d, cfg_t, page = self.draft_cfg, self.cfg, self.page
         if self.prefix is not None:
             # the draft attends the SAME prefix tokens through its own
@@ -343,6 +361,9 @@ class Engine:
             _, self.dprefix = PG.build_prefix(
                 self.draft_params, self._prefix_tokens, cfg_d,
                 quantized=self.dkv.quantized)
+            if self.mesh is not None:
+                from quip_tpu.parallel.mesh import shard_prefix
+                self.dprefix = shard_prefix(self.dprefix, self.mesh)
             # chunked-append admission also streams the prompt through
             # the draft cache (its logits are discarded)
             self._append_draft = jax.jit(
@@ -479,6 +500,14 @@ class Engine:
         self.pkv = PG.init_paged(max_batch, max_seq + self.hot, cfg,
                                  dtype=cache_dtype, quantized=kv_quant,
                                  hot=self.hot, page=page)
+        if self.mesh is not None:
+            # sharded serving: caches batch-over-dp / heads-over-tp, split
+            # weights column-parallel over tp, stacked weights (prefill
+            # path) likewise (parallel/mesh.py)
+            from quip_tpu.parallel.mesh import (shard_paged, shard_params,
+                                                shard_split)
+            self.pkv = shard_paged(self.pkv, self.mesh)
+            self.params = shard_params(self.params, cfg, self.mesh)
         # host-authoritative per-slot cursors (pushed to device each call)
         self._base = np.zeros(max_batch, np.int32)
         self._hotlen = np.zeros(max_batch, np.int32)
@@ -490,27 +519,41 @@ class Engine:
         # 254 tok/s at 7B 2-bit, docs/PERF.md round 2). Split ONCE here;
         # the public call signatures keep `params` (ignored by the shims)
         # so every caller/jit cache stays unchanged.
-        # as_split returns the Split NamedTuple the paged_*_any dispatchers
-        # recognize (spec paths pass _tsplit WHOLE); splatting it
-        # (*self._tsplit) still yields (misc, layers) for the _u shims.
-        self._tsplit = PG.as_split(self.params)
-        _decode_u = jax.jit(
-            lambda misc, layers, tokens, caches, prefix, pre_on:
-            PG.paged_decode_step_unrolled(misc, layers, tokens, caches,
-                                          cfg, page=page, prefix=prefix,
-                                          prefix_on=pre_on))
+        #
+        # EXCEPT when the unrolled program would blow the per-program HBM
+        # limit: the unrolled step takes every per-layer tree as a live
+        # argument alongside the whole frozen arena, and a 13B batch-32
+        # engine OOM'd there while the scan+donation profile fit
+        # (docs/PERF.md round-2 batch E). _unroll_fits() estimates the
+        # working set and falls back to the scan form over budget;
+        # Engine(unroll=True/False) or QUIP_UNROLL=0/1 force it.
+        self.unroll = (self._unroll_arg if self._unroll_arg is not None
+                       else self._unroll_fits())
+        # _tsplit: what the step jits (and spec_decode_*) receive — a
+        # paged.Split in unrolled mode, the stacked tree in scan mode;
+        # paged_decode_any/paged_append_any dispatch on the type.
+        if self.unroll:
+            self._tsplit = PG.as_split(self.params)
+            if self.mesh is not None:
+                from quip_tpu.parallel.mesh import shard_split
+                self._tsplit = shard_split(self._tsplit, cfg, self.mesh)
+        else:
+            self._tsplit = self.params
+        _decode_j = jax.jit(
+            lambda sp, tokens, caches, prefix, pre_on:
+            PG.paged_decode_any(sp, tokens, caches, cfg, page=page,
+                                prefix=prefix, prefix_on=pre_on))
         self._decode_paged = (
-            lambda params, *a: _decode_u(*self._tsplit, *a))
+            lambda params, *a: _decode_j(self._tsplit, *a))
         # multi-token append: chunked-prefill admission for shared-prefix
         # requests (prompt tokens must attend the prefix, so they stream
         # through the hot ring instead of the plain prefill path)
-        _append_u = jax.jit(
-            lambda misc, layers, tokens, caches, prefix, pre_on:
-            PG.paged_append_step_unrolled(misc, layers, tokens, caches,
-                                          cfg, page=page, prefix=prefix,
-                                          prefix_on=pre_on))
+        _append_j = jax.jit(
+            lambda sp, tokens, caches, prefix, pre_on:
+            PG.paged_append_any(sp, tokens, caches, cfg, page=page,
+                                prefix=prefix, prefix_on=pre_on))
         self._append_paged = (
-            lambda params, *a: _append_u(*self._tsplit, *a))
+            lambda params, *a: _append_j(self._tsplit, *a))
         # donate the cache pytrees: on this runtime donation aliases MEMORY
         # (halves the flush/prefill working set — a 13B b32 bf16 engine OOMs
         # without it) even though updates still cost copy time
@@ -524,12 +567,12 @@ class Engine:
         # chunked decode with in-graph sampling: the scan carries only the
         # hot ring (O(hot) per iteration), unlike the arena decode_chunk
         # whose carries copy the whole cache on no-donation runtimes
-        def decode_chunk_paged(misc, layers, tokens, caches, prefix,
+        def decode_chunk_paged(sp, tokens, caches, prefix,
                                pre_on, key, temps, top_ps, n_steps, top_k):
             def body(carry, _):
                 tok, hot_s, key = carry
-                logits, hot_s = PG.paged_decode_step_unrolled(
-                    misc, layers, tok, PG.advance(caches, hot_s), cfg,
+                logits, hot_s = PG.paged_decode_any(
+                    sp, tok, PG.advance(caches, hot_s), cfg,
                     page=page, prefix=prefix, prefix_on=pre_on)
                 key, sk = jax.random.split(key)
                 t = _sample(sk, logits, temps, top_k,
@@ -542,10 +585,41 @@ class Engine:
                                            length=n_steps)
             return toks.T, hot_s
 
-        _chunk_u = jax.jit(
+        _chunk_j = jax.jit(
             decode_chunk_paged, static_argnames=("n_steps", "top_k"))
         self._decode_chunk_paged = (
-            lambda params, *a, **kw: _chunk_u(*self._tsplit, *a, **kw))
+            lambda params, *a, **kw: _chunk_j(self._tsplit, *a, **kw))
+
+    def _unroll_fits(self) -> bool:
+        """Estimate whether the UNROLLED paged decode program fits the
+        per-program HBM limit.
+
+        The relay enforces ~16 GiB per program at compile/dispatch time
+        (docs/PERF.md); the unrolled step's live set is all per-layer
+        weight args + the frozen arena (input) + the hot ring (in+out).
+        The 13B batch-32 case measured over the line while the scan form
+        (donated, weights sliced in-program) fit. Conservative estimate:
+        params + 2x cache bytes vs QUIP_UNROLL_BUDGET_GB (default 13.5,
+        leaving headroom for activations/workspace). QUIP_UNROLL=0/1
+        overrides; sharded engines divide by mesh size (per-device
+        share)."""
+        import os
+        ov = os.environ.get("QUIP_UNROLL")
+        if ov is not None:
+            return ov != "0"
+        if jax.default_backend() != "tpu":
+            return True      # hermetic CPU: no HBM limit to respect
+
+        def nbytes(tree):
+            return sum(x.size * x.dtype.itemsize
+                       for x in jax.tree.leaves(tree) if hasattr(x, "size"))
+
+        est = nbytes(self.params) + 2 * nbytes(self.pkv)
+        if self.mesh is not None:
+            est /= self.mesh.size
+        budget = float(os.environ.get("QUIP_UNROLL_BUDGET_GB",
+                                      "13.5")) * 2**30
+        return est <= budget
 
     def _sync_pkv(self):
         """Paged cache with the host-authoritative cursors pushed in."""

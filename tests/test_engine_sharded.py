@@ -1,0 +1,128 @@
+"""Engine serving under a (dp, tp) mesh — the PRODUCTION decode path
+(unrolled split-weight step + widen_3bit + folded-vin rotations) compiled
+and executed sharded on the 8-virtual-CPU-device mesh.
+
+Round-2 verdict weak #3: the multi-chip dryrun only exercised the scan-form
+step while Engine/bench dispatch the unrolled form. These tests pin the
+exact production form under GSPMD sharding.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quip_tpu.models import get_config
+from quip_tpu.models import model as M
+from quip_tpu.parallel.mesh import make_mesh
+from quip_tpu.serve.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def packed_tiny():
+    """A quantized+packed 2-bit opt-tiny (the test_serve recipe)."""
+    from quip_tpu.pack.model import pack_quantized_model
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qparams, art = quantize_model(params, cfg, calib,
+                                  QuantConfig.incoherence(2, "ldlq"),
+                                  jax.random.key(1), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+    return cfg, packed
+
+
+def test_engine_sharded_matches_unsharded(packed_tiny):
+    """mesh= Engine (dp x tp GSPMD) emits the same greedy tokens as the
+    single-device paged engine over the same packed weights."""
+    cfg, packed = packed_tiny
+    mesh = make_mesh(dp=2, tp=4)
+    prompts = [[1, 2, 3], [7, 5], [9, 9, 2, 4]]
+    reqs = [dict(prompt=p, max_new_tokens=5) for p in prompts]
+    plain = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                   hot=8, page=8)
+    shard = Engine(packed, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                   hot=8, page=8)
+    # sanity: the split per-layer planes really are tp-sharded
+    q0 = shard._tsplit.layers[0]["attn"]["wq"]
+    assert not q0.planes[0].sharding.is_fully_replicated
+    want = [r.generated for r in plain.run(list(reqs))]
+    got = [r.generated for r in shard.run(list(reqs))]
+    assert got == want
+
+
+def test_engine_sharded_widen3(packed_tiny):
+    """3-bit checkpoint: Engine widen_3bit transcode (code_bits=3 in a
+    4-bit plane) under the mesh — the exact 3-bit serving configuration."""
+    from quip_tpu.pack.model import pack_quantized_model
+    from quip_tpu.quantize.config import QuantConfig
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(1)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qparams, art = quantize_model(params, cfg, calib,
+                                  QuantConfig.incoherence(3, "ldlq"),
+                                  jax.random.key(3), chunk=4)
+    packed3 = pack_quantized_model(qparams, cfg, art, 3)
+    mesh = make_mesh(dp=2, tp=4)
+    plain = Engine(packed3, cfg, max_batch=2, max_seq=64, paged=True,
+                   hot=8, page=8)
+    shard = Engine(packed3, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                   hot=8, page=8)
+    # the engine transcoded at load: planes are 4-bit fields, 3-bit codes
+    q0 = shard._tsplit.layers[0]["attn"]["wq"]
+    assert q0.bits == 4 and q0.code_bits == 3
+    [rp] = plain.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
+    [rs] = shard.run([dict(prompt=[1, 2, 3], max_new_tokens=5)])
+    assert rs.generated == rp.generated
+
+
+def test_engine_scan_fallback_matches_unrolled(packed_tiny):
+    """unroll=False (the 13B-b32 OOM fallback: scan-form step, stacked
+    weights) emits the same tokens as the default unrolled engine."""
+    cfg, packed = packed_tiny
+    prompts = [[1, 2, 3], [8, 1]]
+    reqs = [dict(prompt=p, max_new_tokens=5) for p in prompts]
+    e_u = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                 hot=8, page=8)
+    e_s = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                 hot=8, page=8, unroll=False)
+    assert e_u.unroll and not e_s.unroll
+    from quip_tpu.models.paged import Split
+    assert isinstance(e_u._tsplit, Split)
+    assert not isinstance(e_s._tsplit, Split)
+    want = [r.generated for r in e_u.run(list(reqs))]
+    got = [r.generated for r in e_s.run(list(reqs))]
+    assert got == want
+
+
+def test_engine_unroll_env_override(packed_tiny, monkeypatch):
+    """QUIP_UNROLL=0 forces the scan fallback (the operator escape hatch
+    when the _unroll_fits estimate is wrong)."""
+    cfg, packed = packed_tiny
+    monkeypatch.setenv("QUIP_UNROLL", "0")
+    eng = Engine(packed, cfg, max_batch=1, max_seq=64, paged=True,
+                 hot=8, page=8)
+    assert not eng.unroll
+    [r] = eng.run([dict(prompt=[5, 6], max_new_tokens=3)])
+    assert len(r.generated) >= 3
+
+
+def test_engine_sharded_spec(packed_tiny):
+    """Speculative serving (draft + verify) under the mesh: greedy output
+    equals target-only greedy decoding (the spec equivalence property),
+    with every spec step compiled over the sharded split weights."""
+    cfg, packed = packed_tiny
+    mesh = make_mesh(dp=2, tp=4)
+    plain = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                   hot=8, page=8)
+    spec = Engine(packed, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                  hot=8, page=8, draft=(packed, cfg), spec_k=2)
+    [rp] = plain.run([dict(prompt=[4, 2], max_new_tokens=6)])
+    [rs] = spec.run([dict(prompt=[4, 2], max_new_tokens=6)])
+    assert rs.generated == rp.generated
