@@ -59,7 +59,15 @@ def _eval_zeroshot(params, cfg, args, task_names):
     except Exception:
         tokenizer = ByteTokenizer(cfg.vocab_size)
     lm = JaxLM(params, cfg, tokenizer, batch_size=args.batch_size)
-    tasks = get_task_dict(task_names, data_dir=args.data_dir)
+    datasets = None
+    if getattr(args, "synthetic_docs", False):
+        # offline drill: every task's REAL prompt/request/metric pipeline
+        # over schema-faithful synthetic docs (zero egress)
+        from quip_tpu.eval.zeroshot.synthetic_docs import synthetic_datasets
+        datasets = synthetic_datasets(task_names,
+                                      n=args.limit or 8, seed=0)
+    tasks = get_task_dict(task_names, datasets=datasets,
+                          data_dir=args.data_dir)
     out = simple_evaluate(lm, tasks, limit=args.limit,
                           bootstrap_iters=args.bootstrap_iters)
     acc = {}
@@ -176,6 +184,10 @@ def main(argv=None):
     p.add_argument("--tasks", type=str,
                    default="arc_easy,lambada,piqa,storycloze",
                    help="zero-shot suite ('' skips zero-shot)")
+    p.add_argument("--synthetic_docs", action="store_true",
+                   help="run every task over schema-faithful synthetic "
+                        "docs (offline drill of the real prompt/metric "
+                        "pipelines; chance-level accuracies)")
     p.add_argument("--data_dir", type=str, default=None,
                    help="local dataset dir (lambada jsonl, storycloze CSVs)")
     p.add_argument("--limit", type=int, default=None)

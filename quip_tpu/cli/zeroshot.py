@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--data_dir", type=str, default=None,
                    help="local dataset dir for offline tasks (lambada "
                         "jsonl, storycloze CSVs) — zero-egress operation")
+    p.add_argument("--synthetic_docs", action="store_true",
+                   help="schema-faithful synthetic docs for every task "
+                        "(offline pipeline drill; chance accuracies)")
     args = p.parse_args(argv)
 
     task_names = pattern_match(args.tasks.split(","), ALL_TASKS)
@@ -69,7 +72,12 @@ def main(argv=None):
         tokenizer = ByteTokenizer(cfg.vocab_size)
 
     lm = JaxLM(params, cfg, tokenizer, batch_size=args.batch_size)
-    tasks = get_task_dict(task_names, data_dir=args.data_dir)
+    datasets = None
+    if args.synthetic_docs:
+        from quip_tpu.eval.zeroshot.synthetic_docs import synthetic_datasets
+        datasets = synthetic_datasets(task_names, n=args.limit or 8)
+    tasks = get_task_dict(task_names, datasets=datasets,
+                          data_dir=args.data_dir)
     results = simple_evaluate(lm, tasks, num_fewshot=args.num_fewshot,
                               limit=args.limit)
     dumped = json.dumps(results, indent=2)

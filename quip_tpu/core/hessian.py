@@ -110,7 +110,7 @@ class PreprocState:
         """(U, V) — Butterfly or RHT depending on proj_mode."""
         assert self.proj_key is not None
         ku, kv = jax.random.split(self.proj_key)
-        if self.proj_mode == "rht":
+        if self.proj_mode in ("rht", "rht_sf"):
             return (inc.gen_rht(ku, self.rows, dtype),
                     inc.gen_rht(kv, self.cols, dtype))
         U = inc.gen_butterfly(ku, self.rows, self.proj_mode, dtype)
@@ -156,6 +156,14 @@ def preproc_proj(W: jax.Array, H: jax.Array, key: jax.Array,
     d = H.shape[0]
     H = H * (d / (jnp.trace(H) + 1e-8)) + 1e-2 * jnp.eye(d, dtype=H.dtype)
     ku, kv = jax.random.split(key)
+    if mode == "rht_sf":
+        # outer-sign RHT (sign-folded serving format): T = diag(s)·K, so
+        # the signs sit adjacent to the rotated payload and fold into the
+        # packed qfn-b codes (incoherence.py OUTER-sign section)
+        U = inc.gen_rht(ku, W.shape[0], dtype=W.dtype)
+        V = inc.gen_rht(kv, W.shape[1], dtype=W.dtype)
+        return (inc.rht_rotate_weight_outer(U, V, W),
+                inc.rht_rotate_hessian_outer(V, H))
     if mode == "rht":
         U = inc.gen_rht(ku, W.shape[0], dtype=W.dtype)
         V = inc.gen_rht(kv, W.shape[1], dtype=W.dtype)
@@ -218,7 +226,10 @@ def postproc(W: jax.Array, H: jax.Array, state: PreprocState):
     """
     if state.proj_key is not None:
         U, V = state.transforms(dtype=W.dtype)
-        if state.proj_mode == "rht":
+        if state.proj_mode == "rht_sf":
+            W = inc.rht_unrotate_weight_outer(U, V, W)
+            H = inc.rht_unrotate_hessian_outer(V, H)
+        elif state.proj_mode == "rht":
             W = inc.rht_unrotate_weight(U, V, W)
             H = inc.rht_unrotate_hessian(V, H)
         else:

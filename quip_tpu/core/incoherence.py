@@ -278,7 +278,12 @@ def gen_rht(key: jax.Array, n: int, dtype=jnp.float32) -> RHT:
 
 def apply_rht(t: RHT, x: jax.Array, axis: int = 0,
               transpose: bool = False) -> jax.Array:
-    """y = T x (or Tᵀ x) along ``axis``; Tᵀ is the exact inverse."""
+    """y = T x (or Tᵀ x) along ``axis``; Tᵀ is the exact inverse.
+
+    ``t.signs is None`` skips the sign multiply — the pure-Kronecker map
+    K = L ⊗ R used by the sign-folded serving format (proj_mode 'rht_sf',
+    pack/format.py::fold_rht_signs), where diag(s) lives in the packed
+    codes instead of the activation path."""
     orig_shape = x.shape
     x = jnp.moveaxis(x, axis, -1)
     lead = x.shape[:-1]
@@ -286,10 +291,11 @@ def apply_rht(t: RHT, x: jax.Array, axis: int = 0,
     a, b = t.a, t.b
     L = t.left.astype(x.dtype)
     R = t.right.astype(x.dtype) if t.right is not None else None
-    s = t.signs.astype(x.dtype)
+    s = t.signs.astype(x.dtype) if t.signs is not None else None
 
     if not transpose:
-        x = x * s
+        if s is not None:
+            x = x * s
         x = x.reshape(*lead, a, b)
         x = jnp.einsum("pa,...ab->...pb", L, x)
         if R is not None:
@@ -301,7 +307,8 @@ def apply_rht(t: RHT, x: jax.Array, axis: int = 0,
         if R is not None:
             x = jnp.einsum("qb,...aq->...ab", R, x)  # Rᵀ on the b axis
         x = x.reshape(*lead, t.n)
-        x = x * s
+        if s is not None:
+            x = x * s
     x = jnp.moveaxis(x, -1, axis)
     return x.reshape(orig_shape)
 
@@ -329,6 +336,57 @@ def rht_unrotate_weight(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
 def rht_unrotate_hessian(v: RHT, H: jax.Array) -> jax.Array:
     H = apply_rht(v, H, axis=0, transpose=True)
     return apply_rht(v, H, axis=1, transpose=True)
+
+
+# ---------------------------------------------------------------------------
+# OUTER-sign RHT variant (proj_mode 'rht_sf' — the sign-folded serving
+# format). Transform T = diag(s) · (L ⊗ R): signs applied in the ROTATED
+# basis, i.e. adjacent to the rotated payload W₂ = U W Vᵀ =
+# diag(s_u) K_u W K_vᵀ diag(s_v). Because the qfn-b grid is symmetric
+# (code c → maxq − c negates exactly), those outer signs fold into the
+# packed codes at pack time and the serving path runs PURE Kronecker dots —
+# zero sign passes (docs/PERF.md round-3 roadmap item 1).
+#
+# Trade-off vs the standard inner-sign RHT (T = K · diag(s)): the sign
+# randomization no longer touches the magnitudes of K H Kᵀ / K_u W K_vᵀ
+# (outer flips change entry signs only), so the formal incoherence argument
+# rests on the Kronecker mixing + the odd-factor random orthogonal alone.
+# Opt-in (QuantConfig proj_mode='rht_sf'); validate quality per model.
+# ---------------------------------------------------------------------------
+
+
+def _nosign(t: RHT) -> RHT:
+    return t._replace(signs=None)
+
+
+def rht_rotate_weight_outer(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
+    """w -> U w Vᵀ with U = diag(s_u)·K_u, V = diag(s_v)·K_v."""
+    w = apply_rht(_nosign(u), w, axis=0)
+    w = apply_rht(_nosign(v), w, axis=1)
+    return w * u.signs.astype(w.dtype)[:, None] \
+        * v.signs.astype(w.dtype)[None, :]
+
+
+def rht_unrotate_weight_outer(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
+    w = w * u.signs.astype(w.dtype)[:, None] \
+        * v.signs.astype(w.dtype)[None, :]
+    w = apply_rht(_nosign(u), w, axis=0, transpose=True)
+    return apply_rht(_nosign(v), w, axis=1, transpose=True)
+
+
+def rht_rotate_hessian_outer(v: RHT, H: jax.Array) -> jax.Array:
+    """H -> V H Vᵀ = diag(s_v) K_v H K_vᵀ diag(s_v)."""
+    H = apply_rht(_nosign(v), H, axis=0)
+    H = apply_rht(_nosign(v), H, axis=1)
+    s = v.signs.astype(H.dtype)
+    return H * s[:, None] * s[None, :]
+
+
+def rht_unrotate_hessian_outer(v: RHT, H: jax.Array) -> jax.Array:
+    s = v.signs.astype(H.dtype)
+    H = H * s[:, None] * s[None, :]
+    H = apply_rht(_nosign(v), H, axis=0, transpose=True)
+    return apply_rht(_nosign(v), H, axis=1, transpose=True)
 
 
 def rotate_weight(u: Butterfly, v: Butterfly, w: jax.Array) -> jax.Array:

@@ -22,6 +22,18 @@ TASK_REGISTRY = {
     # offline smoke task (ours, no reference counterpart): lets the CLI run
     # end-to-end with zero network egress
     "synthetic": T.Synthetic,
+    # GLUE extras: defined but never registered by the reference
+    # (zeroShot/tasks/glue.py:56-494 vs tasks/__init__.py:17-31); ported
+    # for completeness. STSB is omitted — it is a NotImplementedError stub
+    # in the reference.
+    "cola": T.CoLA,
+    "sst": T.SST,
+    "mnli": T.MNLI,
+    "mnli_mismatched": T.MNLIMismatched,
+    "qnli": T.QNLI,
+    "wnli": T.WNLI,
+    "mrpc": T.MRPC,
+    "qqp": T.QQP,
 }
 
 ALL_TASKS = sorted(TASK_REGISTRY)

@@ -747,3 +747,272 @@ class RTE(Task):
 
     def aggregation(self):
         return {"acc": mean}
+
+
+# ---------------------------------------------------------------------------
+# GLUE extras (reference zeroShot/tasks/glue.py:56-494).
+#
+# The reference DEFINES these classes but never registers them
+# (zeroShot/tasks/__init__.py:17-31 lists only the 13-task suite); they are
+# ported for completeness and registered under their lm-eval names. STSB
+# (glue.py:495-572) is NOT ported: every method of it raises
+# NotImplementedError in the reference — dead code with no behavior to match.
+# Metric pairs follow this repo's (pred, gold) convention
+# (metrics.f1_score / matthews_corrcoef are swap-invariant, so results
+# match the reference's (gold, pred) ordering exactly).
+# ---------------------------------------------------------------------------
+
+
+class _GlueTask(Task):
+    """Shared GLUE boilerplate (train+validation, no test)."""
+
+    DATASET_PATH = "glue"
+
+    def has_training_docs(self):
+        return True
+
+    def has_validation_docs(self):
+        return True
+
+    def has_test_docs(self):
+        return False
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = list(self.dataset["train"])
+        return self._training_docs
+
+    def validation_docs(self):
+        return self.dataset["validation"]
+
+
+class CoLA(_GlueTask):
+    """GLUE CoLA (zeroShot/tasks/glue.py:56-106)."""
+
+    VERSION = 0
+    DATASET_NAME = "cola"
+
+    def doc_to_text(self, doc):
+        return ("{}\nQuestion: Does this sentence make sense?\nAnswer:"
+                .format(doc["sentence"]))
+
+    def doc_to_target(self, doc):
+        return " {}".format({1: "yes", 0: "no"}[doc["label"]])
+
+    def construct_requests(self, doc, ctx):
+        ll_true, _ = rf.loglikelihood(ctx, " yes")
+        ll_false, _ = rf.loglikelihood(ctx, " no")
+        return ll_true, ll_false
+
+    def process_results(self, doc, results):
+        ll_true, ll_false = results
+        pred = int(ll_true > ll_false)
+        return {"mcc": (pred, doc["label"])}
+
+    def higher_is_better(self):
+        return {"mcc": True}
+
+    def aggregation(self):
+        return {"mcc": metrics.matthews_corrcoef}
+
+
+class SST(_GlueTask):
+    """GLUE SST-2 (zeroShot/tasks/glue.py:109-156)."""
+
+    VERSION = 0
+    DATASET_NAME = "sst2"
+
+    def doc_to_text(self, doc):
+        return ("{}\nQuestion: Is this sentence positive or negative?"
+                "\nAnswer:".format(general_detokenize(doc["sentence"])))
+
+    def doc_to_target(self, doc):
+        return " {}".format({1: "positive", 0: "negative"}[doc["label"]])
+
+    def construct_requests(self, doc, ctx):
+        ll_positive, _ = rf.loglikelihood(ctx, " positive")
+        ll_negative, _ = rf.loglikelihood(ctx, " negative")
+        return ll_positive, ll_negative
+
+    def process_results(self, doc, results):
+        ll_positive, ll_negative = results
+        pred = ll_positive > ll_negative
+        return {"acc": pred == doc["label"]}
+
+    def higher_is_better(self):
+        return {"acc": True}
+
+    def aggregation(self):
+        return {"acc": mean}
+
+
+class MNLI(_GlueTask):
+    """GLUE MNLI matched (zeroShot/tasks/glue.py:159-218)."""
+
+    VERSION = 0
+    DATASET_NAME = "mnli"
+
+    def validation_docs(self):
+        return self.dataset["validation_matched"]
+
+    def doc_to_text(self, doc):
+        return "{}\nQuestion: {} True, False or Neither?\nAnswer:".format(
+            doc["premise"],
+            doc["hypothesis"].strip() +
+            ("" if doc["hypothesis"].strip().endswith(".") else "."),
+        )
+
+    def doc_to_target(self, doc):
+        # True = entailment, Neither = neutral, False = contradiction
+        return " {}".format({0: "True", 1: "Neither", 2: "False"}
+                            [doc["label"]])
+
+    def construct_requests(self, doc, ctx):
+        ll_true, _ = rf.loglikelihood(ctx, " True")
+        ll_neither, _ = rf.loglikelihood(ctx, " Neither")
+        ll_false, _ = rf.loglikelihood(ctx, " False")
+        return ll_true, ll_neither, ll_false
+
+    def process_results(self, doc, results):
+        return {"acc": int(np.argmax(results)) == doc["label"]}
+
+    def higher_is_better(self):
+        return {"acc": True}
+
+    def aggregation(self):
+        return {"acc": mean}
+
+
+class MNLIMismatched(MNLI):
+    """GLUE MNLI mismatched (zeroShot/tasks/glue.py:221-230)."""
+
+    VERSION = 0
+
+    def validation_docs(self):
+        return self.dataset["validation_mismatched"]
+
+
+class QNLI(_GlueTask):
+    """GLUE QNLI (zeroShot/tasks/glue.py:233-283)."""
+
+    VERSION = 0
+    DATASET_NAME = "qnli"
+
+    def doc_to_text(self, doc):
+        return ("{}\n{}\nQuestion: Does this response answer the question?"
+                "\nAnswer:".format(doc["question"], doc["sentence"]))
+
+    def doc_to_target(self, doc):
+        # 0 = entailment, 1 = not entailment
+        return " {}".format({0: "yes", 1: "no"}[doc["label"]])
+
+    def construct_requests(self, doc, ctx):
+        ll_yes, _ = rf.loglikelihood(ctx, " yes")
+        ll_no, _ = rf.loglikelihood(ctx, " no")
+        return ll_yes, ll_no
+
+    def process_results(self, doc, results):
+        ll_yes, ll_no = results
+        pred = ll_no > ll_yes
+        return {"acc": pred == doc["label"]}
+
+    def higher_is_better(self):
+        return {"acc": True}
+
+    def aggregation(self):
+        return {"acc": mean}
+
+
+class WNLI(_GlueTask):
+    """GLUE WNLI (zeroShot/tasks/glue.py:286-334)."""
+
+    VERSION = 1
+    DATASET_NAME = "wnli"
+
+    def doc_to_text(self, doc):
+        return "{}\nQuestion: {} True or False?\nAnswer:".format(
+            doc["sentence1"], doc["sentence2"])
+
+    def doc_to_target(self, doc):
+        # 1 = entailment -> True (note the inverted map vs RTE,
+        # glue.py:307-310)
+        return " {}".format({0: "False", 1: "True"}[doc["label"]])
+
+    def construct_requests(self, doc, ctx):
+        ll_true, _ = rf.loglikelihood(ctx, " True")
+        ll_false, _ = rf.loglikelihood(ctx, " False")
+        return ll_true, ll_false
+
+    def process_results(self, doc, results):
+        ll_true, ll_false = results
+        pred = ll_true > ll_false
+        return {"acc": pred == doc["label"]}
+
+    def higher_is_better(self):
+        return {"acc": True}
+
+    def aggregation(self):
+        return {"acc": mean}
+
+
+class MRPC(_GlueTask):
+    """GLUE MRPC (zeroShot/tasks/glue.py:391-440)."""
+
+    VERSION = 0
+    DATASET_NAME = "mrpc"
+
+    def doc_to_text(self, doc):
+        return ("Sentence 1: {}\nSentence 2: {}\nQuestion: Do both "
+                "sentences mean the same thing?\nAnswer:".format(
+                    general_detokenize(doc["sentence1"]),
+                    general_detokenize(doc["sentence2"])))
+
+    def doc_to_target(self, doc):
+        return " {}".format(yesno(doc["label"]))
+
+    def construct_requests(self, doc, ctx):
+        ll_yes, _ = rf.loglikelihood(ctx, " yes")
+        ll_no, _ = rf.loglikelihood(ctx, " no")
+        return ll_yes, ll_no
+
+    def process_results(self, doc, results):
+        ll_yes, ll_no = results
+        pred = int(ll_yes > ll_no)
+        return {"acc": pred == doc["label"], "f1": (pred, doc["label"])}
+
+    def higher_is_better(self):
+        return {"acc": True, "f1": True}
+
+    def aggregation(self):
+        return {"acc": mean, "f1": metrics.f1_score}
+
+
+class QQP(_GlueTask):
+    """GLUE QQP (zeroShot/tasks/glue.py:443-492)."""
+
+    VERSION = 0
+    DATASET_NAME = "qqp"
+
+    def doc_to_text(self, doc):
+        return ("Question 1: {}\nQuestion 2: {}\nQuestion: Do both "
+                "questions ask the same thing?\nAnswer:".format(
+                    doc["question1"], doc["question2"]))
+
+    def doc_to_target(self, doc):
+        return " {}".format(yesno(doc["label"]))
+
+    def construct_requests(self, doc, ctx):
+        ll_yes, _ = rf.loglikelihood(ctx, " yes")
+        ll_no, _ = rf.loglikelihood(ctx, " no")
+        return ll_yes, ll_no
+
+    def process_results(self, doc, results):
+        ll_yes, ll_no = results
+        pred = int(ll_yes > ll_no)
+        return {"acc": pred == doc["label"], "f1": (pred, doc["label"])}
+
+    def higher_is_better(self):
+        return {"acc": True, "f1": True}
+
+    def aggregation(self):
+        return {"acc": mean, "f1": metrics.f1_score}

@@ -111,7 +111,10 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
     # Folded fast path (serving default): rot carries vin = signs_V/scaleWH,
     # so the diagonal un-scale + V-side sign flip are ONE VPU pass. Swapping
     # vin in as the RHT signs vector is exact up to dtype rounding.
-    folded = (q.proj_mode == "rht" and q.rot is not None
+    # proj_mode 'rht_sf' goes further: the signs are folded into the packed
+    # CODES (pack/format.py::fold_rht_signs), U/V carry signs=None (the
+    # Kronecker dots alone), and vin reduces to 1/scaleWH — or nothing.
+    folded = (q.proj_mode in ("rht", "rht_sf") and q.rot is not None
               and isinstance(q.rot, dict) and "vin" in q.rot)
     if q.scaleWH is not None and not folded:
         x2 = x2 / q.scaleWH.astype(x2.dtype)[None, :]
@@ -121,21 +124,28 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
             from quip_tpu.pack.format import rot_to_butterflies
             U, V = rot_to_butterflies(q, dtype=x2.dtype)
             if folded:
-                V = V._replace(signs=q.rot["vin"])
+                vin = q.rot["vin"]
+                if isinstance(vin, tuple) and not vin:
+                    vin = None         # rht_sf without rescale: no pass
+                V = V._replace(signs=vin)
         else:
             # fallback: regenerate from the key. NOTE: inside a jitted hot
             # loop this puts QR sampling on the device per call — always
             # materialize `rot` for serving (pack_layer_result does).
             ku, kv = jax.random.split(q.proj_key)
-            if q.proj_mode == "rht":
+            if q.proj_mode in ("rht", "rht_sf"):
                 U = inc.gen_rht(ku, q.out_features, x2.dtype)
                 V = inc.gen_rht(kv, q.in_features, x2.dtype)
+                if q.proj_mode == "rht_sf":
+                    # codes already carry the signs
+                    U = U._replace(signs=None)
+                    V = V._replace(signs=None)
             else:
                 U = inc.gen_butterfly(ku, q.out_features, q.proj_mode,
                                       x2.dtype)
                 V = inc.gen_butterfly(kv, q.in_features, q.proj_mode,
                                       x2.dtype)
-        if q.proj_mode == "rht":
+        if q.proj_mode in ("rht", "rht_sf"):
             x2 = inc.apply_rht(V, x2, axis=-1)            # x @ Vᵀ
             t = _packed_matmul(q, x2, tile_m, use_kernel)
             y = inc.apply_rht(U, t, axis=-1, transpose=True)  # @ U

@@ -231,17 +231,23 @@ class PackedLinear:
         if self.proj_key is not None:
             if self.rot is not None:
                 U, V = rot_to_butterflies(self, dtype=dtype)
-            elif self.proj_mode == "rht":
+            elif self.proj_mode in ("rht", "rht_sf"):
                 ku, kv = jax.random.split(self.proj_key)
                 U = inc.gen_rht(ku, self.out_features, dtype)
                 V = inc.gen_rht(kv, self.in_features, dtype)
+                if self.proj_mode == "rht_sf":
+                    # signs already folded into the codes: the stored
+                    # payload is sign-stripped, un-rotate with K only
+                    U, V = U._replace(signs=None), V._replace(signs=None)
             else:
                 ku, kv = jax.random.split(self.proj_key)
                 U = inc.gen_butterfly(ku, self.out_features, self.proj_mode,
                                       dtype)
                 V = inc.gen_butterfly(kv, self.in_features, self.proj_mode,
                                       dtype)
-            if self.proj_mode == "rht":
+            if self.proj_mode in ("rht", "rht_sf"):
+                # rht_sf: U/V carry signs=None (apply_rht skips), so the
+                # same unrotate expression computes K_uᵀ Ŵ₂ K_v
                 W = inc.rht_unrotate_weight(U, V, W)
             else:
                 W = inc.unrotate_weight(U, V, W)
@@ -331,6 +337,19 @@ def materialize_rotation(proj_key, m: int, d: int, mode: str,
     if proj_key is None:
         return None
     ku, kv = jax.random.split(proj_key)
+    if mode == "rht_sf":
+        # sign-folded serving format: signs live in the packed codes
+        # (fold_rht_signs), the rotation is the pure Kronecker map; the
+        # only input-side diagonal left is 1/scaleWH (absent entirely
+        # without rescale — zero VPU passes around the kernel then)
+        U = inc.gen_rht(ku, m, dtype)
+        V = inc.gen_rht(kv, d, dtype)
+        return {
+            "u": ((), U.left, () if U.right is None else U.right),
+            "v": ((), V.left, () if V.right is None else V.right),
+            "vin": (() if scaleWH is None
+                    else 1.0 / scaleWH.astype(dtype)),
+        }
     if mode == "rht":
         U = inc.gen_rht(ku, m, dtype)
         V = inc.gen_rht(kv, d, dtype)
@@ -353,11 +372,14 @@ def rot_to_butterflies(q: "PackedLinear", dtype=None):
     """Reconstruct (U, V) transform views over the stored arrays."""
     from quip_tpu.core.incoherence import RHT, Butterfly
 
-    if q.proj_mode == "rht":
+    if q.proj_mode in ("rht", "rht_sf"):
         us, ul, ur = q.rot["u"]
         vs, vl, vr = q.rot["v"]
         ur = None if (isinstance(ur, tuple) and not ur) else ur
         vr = None if (isinstance(vr, tuple) and not vr) else vr
+        # rht_sf stores () sign slots: the signs live in the codes
+        us = None if (isinstance(us, tuple) and not us) else us
+        vs = None if (isinstance(vs, tuple) and not vs) else vs
         return (RHT(us, ul, ur, q.out_features),
                 RHT(vs, vl, vr, q.in_features))
     ub, upi, upo = q.rot["u"]
@@ -369,6 +391,30 @@ def rot_to_butterflies(q: "PackedLinear", dtype=None):
             Butterfly(tuple(vb), vpi, vpo, q.in_features))
 
 
+def fold_rht_signs(codes: jax.Array, proj_key, bits: int) -> jax.Array:
+    """Fold the outer RHT sign vectors into qfn-b codes (proj_mode
+    'rht_sf').
+
+    The payload W₂ = diag(s_u) K_u W K_vᵀ diag(s_v) (outer-sign transform,
+    incoherence.py): entry (i, j) of the SIGN-STRIPPED payload differs from
+    W₂ by the factor s_u[i]·s_v[j], and the symmetric qfn-b grid negates
+    exactly under c → maxq − c. Storing the stripped codes makes both
+    decode-time rotations pure Kronecker dots — no sign passes
+    (docs/PERF.md round-3 roadmap item 1). The cost is the format
+    contract: checkpoints can no longer regenerate the *payload* signs
+    from the PRNG key alone (the codes themselves carry them), which is
+    why this is a distinct proj_mode, not a flag on 'rht'.
+    """
+    from quip_tpu.core import incoherence as inc
+
+    m, d = codes.shape
+    ku, kv = jax.random.split(proj_key)
+    su = inc.gen_rht(ku, m, jnp.float32).signs
+    sv = inc.gen_rht(kv, d, jnp.float32).signs
+    neg = (su[:, None] * sv[None, :]) < 0
+    return jnp.where(neg, (2**bits - 1) - codes, codes)
+
+
 def pack_layer_result(res, bits: int,
                       bias: Optional[jax.Array] = None) -> PackedLinear:
     """Build a PackedLinear from a quantize_layer LayerQuantResult."""
@@ -378,6 +424,10 @@ def pack_layer_result(res, bits: int,
         "per-row grids)")
     codes = res.codes.astype(jnp.int32)
     m, d = codes.shape
+    if res.preproc.proj_mode == "rht_sf" and res.preproc.proj_key is not None:
+        assert res.qfnb_scale is not None, \
+            "rht_sf needs the symmetric qfn-b grid (c -> maxq-c negation)"
+        codes = fold_rht_signs(codes, res.preproc.proj_key, bits)
     # qfn-b (scalar grid): pad out-features into the kernel's fast tile
     # band when the true m offers none (padded_m docstring). qfn-a keeps
     # exact m (its per-row scale/zero would need padding too).

@@ -14,7 +14,7 @@ METHODS = ("ldlq", "ldlqRG", "allbal", "ldlbal_admm", "ldl_gptqequiv",
 QFNS = ("a", "b", "c")
 
 
-PROJ_MODES = ("block", "noblock", "nopermute", "rht")
+PROJ_MODES = ("block", "noblock", "nopermute", "rht", "rht_sf")
 
 
 @dataclass(frozen=True)
@@ -25,6 +25,11 @@ class PreprocConfig:
     variants (--pre_proj_extra 0/1/2); 'rht' is this framework's
     permutation-free randomized Hadamard/Kronecker transform — same
     incoherence guarantees, much faster at inference on TPU (no gathers).
+    'rht_sf' is the sign-folded serving variant: outer-sign RHT whose sign
+    vectors fold into the packed qfn-b codes at pack time, making both
+    inference rotations pure Kronecker dots (zero sign passes; requires
+    qfn 'b'; payload signs no longer regenerable from the key alone —
+    pack/format.py::fold_rht_signs).
     """
 
     rescale: bool = False            # --pre_rescale

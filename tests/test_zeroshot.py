@@ -38,8 +38,75 @@ def test_registry_complete():
     want = {"lambada", "piqa", "arc_easy", "arc_challenge", "boolq", "cb",
             "copa", "wic", "multirc", "rte", "record", "wsc", "storycloze"}
     assert want <= set(TASK_REGISTRY)
-    # plus our offline smoke task
-    assert set(TASK_REGISTRY) - want == {"synthetic"}
+    # plus our offline smoke task and the GLUE extras the reference
+    # defines but never registers (glue.py:56-494; STSB is a
+    # NotImplementedError stub there and is deliberately omitted)
+    assert set(TASK_REGISTRY) - want == {
+        "synthetic", "cola", "sst", "mnli", "mnli_mismatched", "qnli",
+        "wnli", "mrpc", "qqp"}
+
+
+def test_all_tasks_synthetic_docs(tiny_lm):
+    """EVERY registered task runs its real prompt/request/metric pipeline
+    over schema-faithful synthetic docs (the accept-day offline drill,
+    cli/accept.py --synthetic_docs)."""
+    from quip_tpu.eval.zeroshot.synthetic_docs import synthetic_datasets
+
+    names = sorted(TASK_REGISTRY)
+    tasks = get_task_dict(names, datasets=synthetic_datasets(names, n=4))
+    out = simple_evaluate(tiny_lm, tasks, limit=4, bootstrap_iters=4)
+    assert set(out["results"]) == set(names)
+    for name, res in out["results"].items():
+        scalars = [v for v in res.values()
+                   if isinstance(v, (int, float))]
+        assert scalars, (name, res)
+        assert all(np.isfinite(v) for v in scalars), (name, res)
+
+
+def test_glue_extras_end_to_end(tiny_lm):
+    """Every ported GLUE extra runs offline through the evaluator with
+    pre-built docs, producing its reference metrics."""
+    docs = {
+        "cola": {"validation": [
+            {"sentence": "The cat sat.", "label": 1},
+            {"sentence": "Cat the on sat mat the.", "label": 0}]},
+        "sst": {"validation": [
+            {"sentence": "a delightful film", "label": 1},
+            {"sentence": "a dreadful mess", "label": 0}]},
+        "mnli": {"validation_matched": [
+            {"premise": "A man is eating.", "hypothesis": "A person eats",
+             "label": 0},
+            {"premise": "A man sleeps.", "hypothesis": "A man runs.",
+             "label": 2}]},
+        "mnli_mismatched": {"validation_mismatched": [
+            {"premise": "Dogs bark.", "hypothesis": "Animals make noise.",
+             "label": 0}]},
+        "qnli": {"validation": [
+            {"question": "What color is the sky?",
+             "sentence": "The sky is blue.", "label": 0}]},
+        "wnli": {"validation": [
+            {"sentence1": "The cup fell.", "sentence2": "It broke.",
+             "label": 1}]},
+        "mrpc": {"validation": [
+            {"sentence1": "He ate.", "sentence2": "He had a meal.",
+             "label": 1},
+            {"sentence1": "He ate.", "sentence2": "She left.",
+             "label": 0}]},
+        "qqp": {"validation": [
+            {"question1": "How do I cook rice?",
+             "question2": "What is the way to cook rice?", "label": 1}]},
+    }
+    names = sorted(docs)
+    tasks = get_task_dict(names, datasets=docs)
+    out = simple_evaluate(tiny_lm, tasks, num_fewshot=0, limit=4,
+                          bootstrap_iters=4)
+    for name in names:
+        res = out["results"][name]
+        metric = "mcc" if name == "cola" else "acc"
+        assert metric in res, (name, res)
+        assert -1.0 <= res[metric] <= 1.0
+    assert "f1" in out["results"]["mrpc"]
+    assert "f1" in out["results"]["qqp"]
 
 
 def test_piqa_end_to_end(tiny_lm):
@@ -171,6 +238,18 @@ def test_metrics():
 def test_greedy_until(tiny_lm):
     outs = tiny_lm.greedy_until([("ab", ["\n"])], max_gen_toks=4)
     assert len(outs) == 1 and isinstance(outs[0], str)
+
+
+def test_greedy_until_shared_engine(tiny_lm):
+    """Batched requests run through ONE cached engine (VERDICT r2 weak #6)
+    and match per-request generation (greedy is batch-invariant)."""
+    prompts = [("ab", ["\n"]), ("ba c", ["\n"]), ("c", ["\n"])]
+    singles = [tiny_lm.greedy_until([p], max_gen_toks=4)[0]
+               for p in prompts]
+    batched = tiny_lm.greedy_until(list(prompts), max_gen_toks=4)
+    assert batched == singles
+    # one engine per max_seq bucket, reused across all calls above
+    assert len(tiny_lm._gen_engines) == 1
 
 
 def test_synthetic_task_cli_offline(tiny_lm, capsys):
