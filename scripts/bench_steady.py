@@ -1,36 +1,24 @@
-"""Chip batch 5 (one process, run ALONE): 13B refresh + long-context
-steady-state with int8 KV on the unrolled engine (round-1 rows: 13B 84.7
-b1 / 887-1156 b32; 2048-steady 112-119).
+"""Reusable long-context steady-state decode probe (refactored out of the
+round-2 one-shot session scripts; findings in docs/PERF.md).
 
-Steady-state method: prefill ~1900 tokens into the paged cache via
-paged_prefill, then time 96 decode steps (so page loops stream real
-context, not an empty cache).
+Method: prefill ~ctx tokens into the paged cache, then time `steps` decode
+steps on the unrolled engine — so page loops stream real context, not an
+empty cache. Run ALONE on the chip (CLAUDE.md measurement rules).
+
+    python scripts/bench_steady.py [--model llama-2-7b] [--ctx 1900]
+        [--cap 2048] [--kv_quant] [--bits 2]
 """
-import gc
 import sys
 import time
-import traceback
 from dataclasses import replace
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
 
-def phase(name, fn):
-    print(f"\n===== PHASE {name} start {time.strftime('%H:%M:%S')} =====",
-          flush=True)
-    t0 = time.time()
-    try:
-        fn()
-    except Exception:
-        traceback.print_exc()
-        print(f"===== PHASE {name} FAILED =====", flush=True)
-    print(f"===== PHASE {name} done in {time.time()-t0:.0f}s =====",
-          flush=True)
-
-
 def steady(params, cfg, *, ctx=1900, cap=2048, steps=96, kv_quant=False,
            hot=32, page=64):
+    """tok/s decoding at batch 1 with `ctx` tokens already in the cache."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -70,48 +58,41 @@ def steady(params, cfg, *, ctx=1900, cap=2048, steps=96, kv_quant=False,
 
     for _ in range(4):
         tok, caches = step(tok, caches)
-    int(tok[0, 0])
-    t0 = time.time()
+    int(tok[0, 0])                 # hard sync (relay: block_until_ready
+    t0 = time.time()               # does not await execution)
     for _ in range(steps):
         tok, caches = step(tok, caches)
     int(tok[0, 0])
     return steps / (time.time() - t0)
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     import jax
 
-    print("backend:", jax.default_backend(), jax.devices(), flush=True)
-    from quip_tpu.utils import enable_compile_cache
-    enable_compile_cache()
+    p = argparse.ArgumentParser("bench_steady")
+    p.add_argument("--model", default="llama-2-7b")
+    p.add_argument("--bits", type=int, default=2)
+    p.add_argument("--ctx", type=int, default=1900)
+    p.add_argument("--cap", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=96)
+    p.add_argument("--kv_quant", action="store_true")
+    args = p.parse_args(argv)
 
     from __graft_entry__ import _packed_llama
     from quip_tpu.models import get_config
-    from bench import bench_decode
+    from quip_tpu.utils import enable_compile_cache
 
-    cfg7 = replace(get_config("llama-2-7b"), dtype="bfloat16")
-    packed7 = _packed_llama(cfg7, bits=2, seed=0, head_bits=2)
-
-    def longctx():
-        for kvq in (False, True):
-            tps = steady(packed7, cfg7, kv_quant=kvq)
-            print(f"7B 2048-steady kv_quant={kvq}: {tps:.1f} tok/s",
-                  flush=True)
-
-    phase("7b-long-context-steady", longctx)
-    del packed7
-    gc.collect()
-
-    def b13():
-        cfg = replace(get_config("llama-2-13b"), dtype="bfloat16")
-        packed = _packed_llama(cfg, bits=2, seed=0, head_bits=2)
-        for b, cap in ((1, 160), (32, 256)):
-            tps = bench_decode(packed, cfg, steps=96, batch=b, max_seq=cap)
-            print(f"13B b={b} cap={cap}: {tps:.1f} tok/s", flush=True)
-        del packed
-        gc.collect()
-
-    phase("13b-decode", b13)
+    enable_compile_cache()
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = replace(get_config(args.model), dtype="bfloat16")
+    packed = _packed_llama(cfg, bits=args.bits, seed=0, head_bits=args.bits)
+    tps = steady(packed, cfg, ctx=args.ctx, cap=args.cap, steps=args.steps,
+                 kv_quant=args.kv_quant)
+    print(f"{args.model} {args.bits}-bit steady ctx={args.ctx} "
+          f"cap={args.cap} kv_quant={args.kv_quant}: {tps:.1f} tok/s",
+          flush=True)
 
 
 if __name__ == "__main__":
