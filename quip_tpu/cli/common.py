@@ -63,7 +63,7 @@ def add_quant_args(p: argparse.ArgumentParser):
                    help="butterfly mode: 0=block 1=noblock 2=nopermute "
                         "(method.py:125-135); overridden by --proj_mode")
     p.add_argument("--proj_mode", type=str, default=None,
-                   choices=["block", "noblock", "nopermute", "rht", "rht_sf"],
+                   choices=["block", "noblock", "nopermute", "rht", "rht_sf", "rht_uf"],
                    help="rotation kind; 'rht' (default for "
                         "--incoh_processing) is the permutation-free "
                         "TPU-fast transform")

@@ -110,7 +110,7 @@ class PreprocState:
         """(U, V) — Butterfly or RHT depending on proj_mode."""
         assert self.proj_key is not None
         ku, kv = jax.random.split(self.proj_key)
-        if self.proj_mode in ("rht", "rht_sf"):
+        if self.proj_mode in ("rht", "rht_sf", "rht_uf"):
             return (inc.gen_rht(ku, self.rows, dtype),
                     inc.gen_rht(kv, self.cols, dtype))
         U = inc.gen_butterfly(ku, self.rows, self.proj_mode, dtype)
@@ -164,6 +164,14 @@ def preproc_proj(W: jax.Array, H: jax.Array, key: jax.Array,
         V = inc.gen_rht(kv, W.shape[1], dtype=W.dtype)
         return (inc.rht_rotate_weight_outer(U, V, W),
                 inc.rht_rotate_hessian_outer(V, H))
+    if mode == "rht_uf":
+        # hybrid: V/H-side signs stay INNER (full incoherence
+        # randomization where it matters), U-side signs go outer and fold
+        # into the code rows (incoherence.py rht_rotate_weight_uf)
+        U = inc.gen_rht(ku, W.shape[0], dtype=W.dtype)
+        V = inc.gen_rht(kv, W.shape[1], dtype=W.dtype)
+        return (inc.rht_rotate_weight_uf(U, V, W),
+                inc.rht_rotate_hessian(V, H))
     if mode == "rht":
         U = inc.gen_rht(ku, W.shape[0], dtype=W.dtype)
         V = inc.gen_rht(kv, W.shape[1], dtype=W.dtype)
@@ -229,6 +237,9 @@ def postproc(W: jax.Array, H: jax.Array, state: PreprocState):
         if state.proj_mode == "rht_sf":
             W = inc.rht_unrotate_weight_outer(U, V, W)
             H = inc.rht_unrotate_hessian_outer(V, H)
+        elif state.proj_mode == "rht_uf":
+            W = inc.rht_unrotate_weight_uf(U, V, W)
+            H = inc.rht_unrotate_hessian(V, H)
         elif state.proj_mode == "rht":
             W = inc.rht_unrotate_weight(U, V, W)
             H = inc.rht_unrotate_hessian(V, H)

@@ -374,6 +374,26 @@ def rht_unrotate_weight_outer(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
     return apply_rht(_nosign(v), w, axis=1, transpose=True)
 
 
+def rht_rotate_weight_uf(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
+    """Hybrid ('rht_uf'): U outer (diag(s_u)·K_u), V inner (K_v·diag(s_v)).
+
+    The quality-critical sign randomization is the V/H side (real
+    activation Hessians have flat-ish top eigenvectors that an unsigned
+    Hadamard maps onto a coherent basis vector); it is kept INNER, and its
+    decode pass is already free (folds into vin with 1/scaleWH). The
+    U-side signs — the only remaining decode pass — go OUTER so they fold
+    into the packed code ROWS (fold_rht_sign_rows)."""
+    w = apply_rht(v, w, axis=1)                 # inner V: w -> w Vᵀ
+    w = apply_rht(_nosign(u), w, axis=0)        # K_u
+    return w * u.signs.astype(w.dtype)[:, None]
+
+
+def rht_unrotate_weight_uf(u: RHT, v: RHT, w: jax.Array) -> jax.Array:
+    w = w * u.signs.astype(w.dtype)[:, None]
+    w = apply_rht(_nosign(u), w, axis=0, transpose=True)
+    return apply_rht(v, w, axis=1, transpose=True)
+
+
 def rht_rotate_hessian_outer(v: RHT, H: jax.Array) -> jax.Array:
     """H -> V H Vᵀ = diag(s_v) K_v H K_vᵀ diag(s_v)."""
     H = apply_rht(_nosign(v), H, axis=0)

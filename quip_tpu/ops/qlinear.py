@@ -114,7 +114,8 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
     # proj_mode 'rht_sf' goes further: the signs are folded into the packed
     # CODES (pack/format.py::fold_rht_signs), U/V carry signs=None (the
     # Kronecker dots alone), and vin reduces to 1/scaleWH — or nothing.
-    folded = (q.proj_mode in ("rht", "rht_sf") and q.rot is not None
+    folded = (q.proj_mode in ("rht", "rht_sf", "rht_uf")
+              and q.rot is not None
               and isinstance(q.rot, dict) and "vin" in q.rot)
     if q.scaleWH is not None and not folded:
         x2 = x2 / q.scaleWH.astype(x2.dtype)[None, :]
@@ -133,19 +134,22 @@ def qlinear_apply(q: PackedLinear, x: jax.Array, *,
             # loop this puts QR sampling on the device per call — always
             # materialize `rot` for serving (pack_layer_result does).
             ku, kv = jax.random.split(q.proj_key)
-            if q.proj_mode in ("rht", "rht_sf"):
+            if q.proj_mode in ("rht", "rht_sf", "rht_uf"):
                 U = inc.gen_rht(ku, q.out_features, x2.dtype)
                 V = inc.gen_rht(kv, q.in_features, x2.dtype)
                 if q.proj_mode == "rht_sf":
                     # codes already carry the signs
                     U = U._replace(signs=None)
                     V = V._replace(signs=None)
+                elif q.proj_mode == "rht_uf":
+                    # only the U-side signs live in the code rows
+                    U = U._replace(signs=None)
             else:
                 U = inc.gen_butterfly(ku, q.out_features, q.proj_mode,
                                       x2.dtype)
                 V = inc.gen_butterfly(kv, q.in_features, q.proj_mode,
                                       x2.dtype)
-        if q.proj_mode in ("rht", "rht_sf"):
+        if q.proj_mode in ("rht", "rht_sf", "rht_uf"):
             x2 = inc.apply_rht(V, x2, axis=-1)            # x @ Vᵀ
             t = _packed_matmul(q, x2, tile_m, use_kernel)
             y = inc.apply_rht(U, t, axis=-1, transpose=True)  # @ U

@@ -231,7 +231,7 @@ class PackedLinear:
         if self.proj_key is not None:
             if self.rot is not None:
                 U, V = rot_to_butterflies(self, dtype=dtype)
-            elif self.proj_mode in ("rht", "rht_sf"):
+            elif self.proj_mode in ("rht", "rht_sf", "rht_uf"):
                 ku, kv = jax.random.split(self.proj_key)
                 U = inc.gen_rht(ku, self.out_features, dtype)
                 V = inc.gen_rht(kv, self.in_features, dtype)
@@ -239,15 +239,19 @@ class PackedLinear:
                     # signs already folded into the codes: the stored
                     # payload is sign-stripped, un-rotate with K only
                     U, V = U._replace(signs=None), V._replace(signs=None)
+                elif self.proj_mode == "rht_uf":
+                    # only the U-side signs live in the code rows
+                    U = U._replace(signs=None)
             else:
                 ku, kv = jax.random.split(self.proj_key)
                 U = inc.gen_butterfly(ku, self.out_features, self.proj_mode,
                                       dtype)
                 V = inc.gen_butterfly(kv, self.in_features, self.proj_mode,
                                       dtype)
-            if self.proj_mode in ("rht", "rht_sf"):
-                # rht_sf: U/V carry signs=None (apply_rht skips), so the
-                # same unrotate expression computes K_uᵀ Ŵ₂ K_v
+            if self.proj_mode in ("rht", "rht_sf", "rht_uf"):
+                # folded modes: sign-stripped transform slots carry
+                # signs=None (apply_rht skips), so the same unrotate
+                # expression covers all three
                 W = inc.rht_unrotate_weight(U, V, W)
             else:
                 W = inc.unrotate_weight(U, V, W)
@@ -350,6 +354,19 @@ def materialize_rotation(proj_key, m: int, d: int, mode: str,
             "vin": (() if scaleWH is None
                     else 1.0 / scaleWH.astype(dtype)),
         }
+    if mode == "rht_uf":
+        # hybrid fold: U-side signs live in the code rows
+        # (fold_rht_sign_rows); V-side signs stay inner and ride vin —
+        # identical input pass to 'rht', zero output sign pass
+        U = inc.gen_rht(ku, m, dtype)
+        V = inc.gen_rht(kv, d, dtype)
+        vin = V.signs if scaleWH is None \
+            else V.signs / scaleWH.astype(V.signs.dtype)
+        return {
+            "u": ((), U.left, () if U.right is None else U.right),
+            "v": (V.signs, V.left, () if V.right is None else V.right),
+            "vin": vin,
+        }
     if mode == "rht":
         U = inc.gen_rht(ku, m, dtype)
         V = inc.gen_rht(kv, d, dtype)
@@ -372,7 +389,7 @@ def rot_to_butterflies(q: "PackedLinear", dtype=None):
     """Reconstruct (U, V) transform views over the stored arrays."""
     from quip_tpu.core.incoherence import RHT, Butterfly
 
-    if q.proj_mode in ("rht", "rht_sf"):
+    if q.proj_mode in ("rht", "rht_sf", "rht_uf"):
         us, ul, ur = q.rot["u"]
         vs, vl, vr = q.rot["v"]
         ur = None if (isinstance(ur, tuple) and not ur) else ur
@@ -415,6 +432,18 @@ def fold_rht_signs(codes: jax.Array, proj_key, bits: int) -> jax.Array:
     return jnp.where(neg, (2**bits - 1) - codes, codes)
 
 
+def fold_rht_sign_rows(codes: jax.Array, proj_key, bits: int) -> jax.Array:
+    """Row-only fold for the hybrid 'rht_uf' mode: only the U-side signs
+    are outer (the V-side stays inner and rides vin), so only code ROWS
+    flip (see incoherence.py::rht_rotate_weight_uf)."""
+    from quip_tpu.core import incoherence as inc
+
+    m, _ = codes.shape
+    ku, _ = jax.random.split(proj_key)
+    su = inc.gen_rht(ku, m, jnp.float32).signs
+    return jnp.where(su[:, None] < 0, (2**bits - 1) - codes, codes)
+
+
 def pack_layer_result(res, bits: int,
                       bias: Optional[jax.Array] = None) -> PackedLinear:
     """Build a PackedLinear from a quantize_layer LayerQuantResult."""
@@ -424,10 +453,13 @@ def pack_layer_result(res, bits: int,
         "per-row grids)")
     codes = res.codes.astype(jnp.int32)
     m, d = codes.shape
-    if res.preproc.proj_mode == "rht_sf" and res.preproc.proj_key is not None:
+    if res.preproc.proj_mode in ("rht_sf", "rht_uf") \
+            and res.preproc.proj_key is not None:
         assert res.qfnb_scale is not None, \
-            "rht_sf needs the symmetric qfn-b grid (c -> maxq-c negation)"
-        codes = fold_rht_signs(codes, res.preproc.proj_key, bits)
+            "sign folding needs the symmetric qfn-b grid (c -> maxq-c)"
+        fold = (fold_rht_signs if res.preproc.proj_mode == "rht_sf"
+                else fold_rht_sign_rows)
+        codes = fold(codes, res.preproc.proj_key, bits)
     # qfn-b (scalar grid): pad out-features into the kernel's fast tile
     # band when the true m offers none (padded_m docstring). qfn-a keeps
     # exact m (its per-row scale/zero would need padding too).

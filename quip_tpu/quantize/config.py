@@ -14,7 +14,7 @@ METHODS = ("ldlq", "ldlqRG", "allbal", "ldlbal_admm", "ldl_gptqequiv",
 QFNS = ("a", "b", "c")
 
 
-PROJ_MODES = ("block", "noblock", "nopermute", "rht", "rht_sf")
+PROJ_MODES = ("block", "noblock", "nopermute", "rht", "rht_sf", "rht_uf")
 
 
 @dataclass(frozen=True)
@@ -29,7 +29,12 @@ class PreprocConfig:
     vectors fold into the packed qfn-b codes at pack time, making both
     inference rotations pure Kronecker dots (zero sign passes; requires
     qfn 'b'; payload signs no longer regenerable from the key alone —
-    pack/format.py::fold_rht_signs).
+    pack/format.py::fold_rht_signs). 'rht_uf' is the recommended hybrid:
+    V/H-side signs stay inner (full incoherence randomization where real
+    Hessians need it — their flat-ish top eigenvectors are exactly what an
+    unsigned Hadamard maps onto a coherent basis vector) and ride the vin
+    pass for free; only the U-side signs go outer and fold into the code
+    ROWS, removing the one remaining decode sign pass.
     """
 
     rescale: bool = False            # --pre_rescale

@@ -72,34 +72,42 @@ def test_fold_is_exact_negation(rng):
                                    atol=0)
 
 
-@pytest.mark.parametrize("bits", [2, 3, 4])
-def test_pack_contract_rht_sf(rng, bits):
+@pytest.mark.parametrize("mode,bits", [("rht_sf", 2), ("rht_sf", 3),
+                                       ("rht_sf", 4), ("rht_uf", 2),
+                                       ("rht_uf", 4)])
+def test_pack_contract_folded(rng, mode, bits):
     """dequantize() of a sign-folded PackedLinear reproduces the
     pipeline's W_hat bit-for-bit (up to f64 rounding)."""
     m, d = 64, 96
     W = jnp.asarray(rng.standard_normal((m, d)))
     H = jnp.asarray(make_psd_hessian(rng, d))
     cfg = QuantConfig.incoherence(wbits=bits, method="ldlq",
-                                  proj_mode="rht_sf")
+                                  proj_mode=mode)
     res = quantize_layer(W, H, cfg, jax.random.key(0))
     packed = pack_layer_result(res, bits)
-    assert packed.proj_mode == "rht_sf"
-    # the stored rot carries NO sign vectors (pure Kronecker factors)
+    assert packed.proj_mode == mode
+    # the stored rot carries no U-side sign vector (pure Kronecker); the
+    # hybrid keeps the V-side signs (they ride vin)
     assert isinstance(packed.rot["u"][0], tuple) and not packed.rot["u"][0]
-    assert isinstance(packed.rot["v"][0], tuple) and not packed.rot["v"][0]
+    if mode == "rht_sf":
+        assert isinstance(packed.rot["v"][0], tuple) \
+            and not packed.rot["v"][0]
+    else:
+        assert packed.rot["v"][0] is not None
     Wd = packed.dequantize(dtype=jnp.float64)
     np.testing.assert_allclose(np.asarray(Wd), np.asarray(res.W_hat),
                                atol=1e-6)
 
 
-def test_qlinear_apply_rht_sf_matches_dense(rng):
+@pytest.mark.parametrize("mode", ["rht_sf", "rht_uf"])
+def test_qlinear_apply_folded_matches_dense(rng, mode):
     """Serving forward through the folded codes == x @ W_hat.T."""
     m, d = 64, 96
     B = 4
     W = jnp.asarray(rng.standard_normal((m, d)))
     H = jnp.asarray(make_psd_hessian(rng, d))
     cfg = QuantConfig.incoherence(wbits=2, method="ldlq",
-                                  proj_mode="rht_sf")
+                                  proj_mode=mode)
     res = quantize_layer(W, H, cfg, jax.random.key(1))
     packed = pack_layer_result(res, 2)
     x = jnp.asarray(rng.standard_normal((B, d)))
@@ -109,14 +117,15 @@ def test_qlinear_apply_rht_sf_matches_dense(rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_qlinear_rht_sf_key_fallback(rng):
+@pytest.mark.parametrize("mode", ["rht_sf", "rht_uf"])
+def test_qlinear_folded_key_fallback(rng, mode):
     """rot=None path (regenerate transforms from the key) must also strip
     the signs for folded codes."""
     m, d = 32, 64
     W = jnp.asarray(rng.standard_normal((m, d)))
     H = jnp.asarray(make_psd_hessian(rng, d))
     cfg = QuantConfig.incoherence(wbits=2, method="ldlq",
-                                  proj_mode="rht_sf")
+                                  proj_mode=mode)
     res = quantize_layer(W, H, cfg, jax.random.key(2))
     packed = pack_layer_result(res, 2)
     bare = packed.__class__(
@@ -190,7 +199,7 @@ def test_rht_sf_quality_comparable(rng):
     inner-sign 'rht' on random layers (the randomization argument differs;
     this is a regression tripwire, not a guarantee)."""
     m, d = 64, 96
-    errs = {"rht": [], "rht_sf": []}
+    errs = {"rht": [], "rht_sf": [], "rht_uf": []}
     for seed in range(3):
         W = jnp.asarray(rng.standard_normal((m, d)))
         H = jnp.asarray(make_psd_hessian(rng, d))
@@ -200,3 +209,4 @@ def test_rht_sf_quality_comparable(rng):
             res = quantize_layer(W, H, cfg, jax.random.key(seed))
             errs[mode].append(float(res.error))
     assert np.mean(errs["rht_sf"]) < 2.0 * np.mean(errs["rht"]), errs
+    assert np.mean(errs["rht_uf"]) < 2.0 * np.mean(errs["rht"]), errs
