@@ -25,16 +25,15 @@ class PreprocConfig:
     variants (--pre_proj_extra 0/1/2); 'rht' is this framework's
     permutation-free randomized Hadamard/Kronecker transform — same
     incoherence guarantees, much faster at inference on TPU (no gathers).
-    'rht_sf' is the sign-folded serving variant: outer-sign RHT whose sign
-    vectors fold into the packed qfn-b codes at pack time, making both
-    inference rotations pure Kronecker dots (zero sign passes; requires
-    qfn 'b'; payload signs no longer regenerable from the key alone —
-    pack/format.py::fold_rht_signs). 'rht_uf' is the recommended hybrid:
-    V/H-side signs stay inner (full incoherence randomization where real
-    Hessians need it — their flat-ish top eigenvectors are exactly what an
-    unsigned Hadamard maps onto a coherent basis vector) and ride the vin
-    pass for free; only the U-side signs go outer and fold into the code
-    ROWS, removing the one remaining decode sign pass.
+    'rht_sf' / 'rht_uf' are EXPERIMENTAL sign-folded variants (signs moved
+    outer and absorbed into the packed qfn-b codes at pack time, making
+    decode rotations pure Kronecker dots — fold_rht_signs /
+    fold_rht_sign_rows; payload signs stop being key-regenerable). Keep
+    the default: measured on v5e they are perf-NEUTRAL (XLA already fuses
+    the sign passes — docs/PERF.md round 3), and on structured inputs
+    (flat-top-eigenvector Hessians, mean-structured weights) the lost
+    sign randomization degrades proxy error ~7x (rht_uf) to ~50x (rht_sf)
+    — tests/test_signfold.py::test_structured_inputs_expose_fold_quality_gap.
     """
 
     rescale: bool = False            # --pre_rescale

@@ -194,6 +194,30 @@ def test_engine_rht_sf_matches_dense(rng):
     assert rd.generated == rp.generated
 
 
+def test_structured_inputs_expose_fold_quality_gap(rng):
+    """WHY 'rht' stays the default: on activation-like Hessians (dominant
+    FLAT eigenvector — the common-token/bias direction real E[xxᵀ] has)
+    with mean-structured weights, the outer-sign modes lose the
+    randomization that protects against Hadamard-coherent structure.
+    Measured here (and the basis of the default choice): rht ~109,
+    rht_uf ~770, rht_sf ~5600 mean proxy error. The folded modes are
+    perf-NEUTRAL on v5e (docs/PERF.md round 3), so they are strictly
+    experimental format options."""
+    m, d = 64, 128
+    ones = np.ones(d) / np.sqrt(d)
+    H = 100.0 * np.outer(ones, ones) + 0.5 * np.eye(d)
+    X = rng.standard_normal((256, d)) * 0.1
+    H = jnp.asarray(H + X.T @ X / 256)
+    W = jnp.asarray(rng.standard_normal((m, d)) + 0.3)
+    err = {}
+    for mode in ("rht", "rht_sf"):
+        cfg = QuantConfig.incoherence(2, "ldlq", proj_mode=mode)
+        err[mode] = float(quantize_layer(W, H, cfg,
+                                         jax.random.key(0)).error)
+    # the inner-sign default must be far better on this structure
+    assert err["rht"] * 5 < err["rht_sf"], err
+
+
 def test_rht_sf_quality_comparable(rng):
     """Proxy loss of the outer-sign mode stays in the same ballpark as the
     inner-sign 'rht' on random layers (the randomization argument differs;
