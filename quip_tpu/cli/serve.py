@@ -51,6 +51,9 @@ def main(argv=None):
                    help="prompt(s); '-' reads one prompt per stdin line")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways over the device mesh")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways (serving batch sharded over "
+                        "dp; combine with --tp for a dp x tp mesh)")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantize the KV cache (halves cache HBM "
                         "traffic; ~15%% faster decode at 2048 ctx; required "
@@ -76,10 +79,12 @@ def main(argv=None):
         params, meta = load_checkpoint(args.load)
         print(f"loaded {meta}", file=sys.stderr)
 
-    if args.tp > 1:
-        from quip_tpu.parallel.mesh import make_mesh, shard_params
-        mesh = make_mesh(dp=1, tp=args.tp)
-        params = shard_params(params, cfg, mesh)
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        # the Engine places everything itself (split weights, paged
+        # caches, prefixes, spec draft — parallel/mesh.py rules)
+        from quip_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
 
     from quip_tpu.eval.zeroshot.lm import ByteTokenizer, load_hf_tokenizer
     try:
@@ -115,7 +120,8 @@ def main(argv=None):
                  max_seq=args.max_seq, kv_quant=args.kv_quant,
                  cache_dtype=cache_dtype, paged=not args.no_paged,
                  hot=args.hot, page=args.page, seed=args.seed,
-                 draft=draft, spec_k=args.spec_k, shared_prefix=prefix)
+                 draft=draft, spec_k=args.spec_k, shared_prefix=prefix,
+                 mesh=mesh)
     if args.http is not None:
         from quip_tpu.serve.server import serve_http
         httpd, loop = serve_http(eng, host=args.host, port=args.http,

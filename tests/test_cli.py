@@ -41,6 +41,24 @@ def test_serve_cli(ckpt_dir, capsys):
     assert rec["prompt"] == "ab"
 
 
+def test_serve_cli_sharded_matches(ckpt_dir, capsys):
+    """--dp/--tp route through Engine(mesh=): same completion as the
+    single-device engine (8 virtual CPU devices)."""
+    from quip_tpu.cli import serve
+
+    def run(extra):
+        serve.main(["opt-tiny", "--load", ckpt_dir, "--prompt", "ab",
+                    "--max_new_tokens", "4", "--max_seq", "64",
+                    "--max_batch", "2"] + extra)
+        out = capsys.readouterr().out
+        return json.loads([ln for ln in out.splitlines()
+                           if ln.startswith("{")][-1])
+
+    plain = run([])
+    shard = run(["--dp", "2", "--tp", "4"])
+    assert shard["completion"] == plain["completion"]
+
+
 def test_bench_cli(capsys):
     from quip_tpu.cli import bench as bcli
 
