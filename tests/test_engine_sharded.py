@@ -82,6 +82,35 @@ def test_engine_sharded_widen3(packed_tiny):
     assert rs.generated == rp.generated
 
 
+def test_engine_sharded_kv_quant(packed_tiny):
+    """int8 KV cache under the mesh (quantized paged arrays have their own
+    shard specs — paged_cache_specs arr4)."""
+    cfg, packed = packed_tiny
+    mesh = make_mesh(dp=2, tp=4)
+    plain = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                   hot=8, page=8, kv_quant=True)
+    shard = Engine(packed, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                   hot=8, page=8, kv_quant=True)
+    [rp] = plain.run([dict(prompt=[2, 7, 1], max_new_tokens=5)])
+    [rs] = shard.run([dict(prompt=[2, 7, 1], max_new_tokens=5)])
+    assert rs.generated == rp.generated
+
+
+def test_engine_sharded_shared_prefix(packed_tiny):
+    """Shared-prefix (system prompt) KV slab under the mesh
+    (shard_prefix: kv_heads over tp, replicated over dp)."""
+    cfg, packed = packed_tiny
+    mesh = make_mesh(dp=2, tp=4)
+    pre = [5, 9, 3, 1]
+    plain = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                   hot=8, page=8, shared_prefix=pre)
+    shard = Engine(packed, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                   hot=8, page=8, shared_prefix=pre)
+    [rp] = plain.run([dict(prompt=[1, 2], max_new_tokens=5)])
+    [rs] = shard.run([dict(prompt=[1, 2], max_new_tokens=5)])
+    assert rs.generated == rp.generated
+
+
 def test_engine_scan_fallback_matches_unrolled(packed_tiny):
     """unroll=False (the 13B-b32 OOM fallback: scan-form step, stacked
     weights) emits the same tokens as the default unrolled engine."""
