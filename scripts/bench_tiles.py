@@ -35,20 +35,54 @@ from quip_tpu.pack.format import pack_codes  # noqa: E402
 from bench_kernel import slope_time  # noqa: E402
 
 
-def main():
-    bits = 2
+def _candidate_tiles(m: int, d: int, bits: int, max_n: int = 6):
+    """Lane-aligned divisors of m with 2..32 grid steps and a packed tile
+    under ~7 MB, thinned to ~max_n spread across the size range."""
+    cands = [t for t in range(128, m // 2 + 1, 128)
+             if m % t == 0 and 2 <= m // t <= 32
+             and d * t * bits / 8 <= 7e6]
+    if len(cands) > max_n:
+        idx = np.linspace(0, len(cands) - 1, max_n).round().astype(int)
+        cands = [cands[i] for i in sorted(set(idx))]
+    return tuple(cands)
+
+
+def main(argv=None):
+    import argparse
+
+    from quip_tpu.pack.format import padded_m
+
+    p = argparse.ArgumentParser("bench_tiles")
+    p.add_argument("--bits", type=int, default=2)
+    args = p.parse_args(argv)
+
+    bits = args.bits
     B = 1
     rng = np.random.default_rng(0)
-    # (true_m, padded_m, d, tiles to try on padded_m)
-    cases = [
-        (22016, 22016, 4096, (512, 5504)),          # rule picks 5504 today
-        (22016, 22528, 4096, (1408, 2816, 5632)),   # padded: 16/8/4 steps
-        (4096, 4096, 11008, (256, 512, 1024, 2048)),
-        (12288, 12288, 4096, (1536, 2048, 3072)),
-        (32000, 32000, 4096, (1600, 3200, 6400)),
-    ]
+    if bits == 2:
+        # (true_m, padded_m, d, tiles to try on padded_m)
+        cases = [
+            (22016, 22016, 4096, (512, 5504)),        # rule picks 5504 today
+            (22016, 22528, 4096, (1408, 2816, 5632)),  # padded: 16/8/4 steps
+            (4096, 4096, 11008, (256, 512, 1024, 2048)),
+            (12288, 12288, 4096, (1536, 2048, 3072)),
+            (32000, 32000, 4096, (1600, 3200, 6400)),
+        ]
+    else:
+        # generic sweep (the 4-bit rows lag their DMA-bound ceiling —
+        # docs/PERF.md round-4 roadmap item 3): true shape + the
+        # padded_m pack actually served at this width
+        shapes = [(22016, 4096), (4096, 11008), (12288, 4096),
+                  (32000, 4096), (4096, 4096)]
+        cases = []
+        for tm, d in shapes:
+            mp = padded_m(tm, d, bits)
+            cases.append((tm, mp, d, _candidate_tiles(mp, d, bits)))
+            if mp != tm:
+                cases.append((tm, tm, d, _candidate_tiles(tm, d, bits)))
     for true_m, m, d, tiles in cases:
-        codes = jnp.asarray(rng.integers(0, 4, size=(m, d)), jnp.int32)
+        codes = jnp.asarray(rng.integers(0, 2**bits, size=(m, d)),
+                            jnp.int32)
         planes = tuple(jax.device_put(p) for p in pack_codes(codes, bits))
         scale = jnp.float32(0.02)
         x0 = jnp.asarray(rng.standard_normal((B, d)), jnp.bfloat16)
