@@ -194,6 +194,32 @@ def test_engine_rht_sf_matches_dense(rng):
     assert rd.generated == rp.generated
 
 
+@pytest.mark.parametrize("mode", ["rht_sf", "rht_uf"])
+def test_checkpoint_roundtrip_folded(rng, mode, tmp_path):
+    """Packed checkpoints serialize the folded formats bit-exactly (the
+    rot dict's empty () sign slots must survive the pytree IO)."""
+    from quip_tpu.models import get_config
+    from quip_tpu.models import model as M
+    from quip_tpu.pack.model import (load_checkpoint, pack_quantized_model,
+                                     save_checkpoint)
+    from quip_tpu.quantize.driver import quantize_model
+
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    calib = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    qparams, art = quantize_model(
+        params, cfg, calib,
+        QuantConfig.incoherence(2, "ldlq", proj_mode=mode),
+        jax.random.key(1), chunk=4)
+    packed = pack_quantized_model(qparams, cfg, art, 2)
+    save_checkpoint(str(tmp_path), packed, {"model": "opt-tiny"})
+    loaded, _ = load_checkpoint(str(tmp_path))
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(M.forward(packed, toks, cfg)),
+        np.asarray(M.forward(loaded, toks, cfg)))
+
+
 def test_structured_inputs_expose_fold_quality_gap(rng):
     """WHY 'rht' stays the default: on activation-like Hessians (dominant
     FLAT eigenvector — the common-token/bias direction real E[xxᵀ] has)
