@@ -124,6 +124,11 @@ def main(argv=None):
                  mesh=mesh)
     if args.http is not None:
         from quip_tpu.serve.server import serve_http
+        # build all serving programs before accepting traffic (a cold
+        # engine pays ~14 s to minutes of trace+compile on its first
+        # batch through relayed backends — Engine.warmup)
+        print("warming serving programs...", file=sys.stderr)
+        eng.warmup(chunked=not args.no_chunked)
         httpd, loop = serve_http(eng, host=args.host, port=args.http,
                                  tokenizer=tokenizer,
                                  chunked=not args.no_chunked)

@@ -1109,6 +1109,21 @@ class Engine:
             self.kv.lengths = jnp.asarray(newlen)
         return T
 
+    def warmup(self, chunked: bool = True) -> "Engine":
+        """Trace + compile the serving programs before real traffic.
+
+        A cold engine pays its program builds on the FIRST batch — on the
+        relayed v5e this measured ~14 s for a plain 7B engine and ~3 min
+        for a speculative one (32-layer unrolled traces + remote
+        compiles), after which steady-state serving ran 552.8 / 185.8
+        tok/s respectively (docs/PERF.md round 3). Long-lived servers
+        should warm at startup; the dummy request runs to completion and
+        retires, leaving serving state untouched. 17 new tokens crosses a
+        chunk boundary so the chunked program, flush and per-step path
+        all build."""
+        self.run([dict(prompt=[1], max_new_tokens=17)], chunked=chunked)
+        return self
+
     def run(self, requests: List[Dict], progress=False,
             chunked: bool = False) -> List[Request]:
         """Submit all, drive steps until done, return completed requests.

@@ -130,6 +130,21 @@ def test_engine_scan_fallback_matches_unrolled(packed_tiny):
     assert got == want
 
 
+def test_engine_warmup_leaves_state_clean(packed_tiny):
+    """warmup() builds the programs via a dummy request and retires it —
+    subsequent serving is unaffected (same tokens as a cold engine)."""
+    cfg, packed = packed_tiny
+    cold = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                  hot=8, page=8)
+    warm = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                  hot=8, page=8).warmup()
+    assert all(s is None for s in warm._slots) and not warm._queue
+    req = dict(prompt=[3, 1, 4], max_new_tokens=5)
+    [rc] = cold.run([dict(req)])
+    [rw] = warm.run([dict(req)])
+    assert rw.generated == rc.generated
+
+
 def test_engine_unroll_env_override(packed_tiny, monkeypatch):
     """QUIP_UNROLL=0 forces the scan fallback (the operator escape hatch
     when the _unroll_fits estimate is wrong)."""
