@@ -428,8 +428,11 @@ class Engine:
                 logits, arena = _slot_attention_step(params, cfg, tokens,
                                                      lengths, arena)
                 key, sk = jax.random.split(key)
-                tok = _sample(sk, logits, temps, top_k,
-                              top_ps).astype(jnp.int32)
+                if temps is None:     # all-greedy batch: no gumbel/filter
+                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    tok = _sample(sk, logits, temps, top_k,
+                                  top_ps).astype(jnp.int32)
                 return (tok[:, None], lengths + 1, arena, key), tok
 
             (tokens, lengths, arena, key), toks = lax.scan(
@@ -575,8 +578,11 @@ class Engine:
                     sp, tok, PG.advance(caches, hot_s), cfg,
                     page=page, prefix=prefix, prefix_on=pre_on)
                 key, sk = jax.random.split(key)
-                t = _sample(sk, logits, temps, top_k,
-                            top_ps).astype(jnp.int32)
+                if temps is None:     # all-greedy batch: no gumbel/filter
+                    t = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    t = _sample(sk, logits, temps, top_k,
+                                top_ps).astype(jnp.int32)
                 return (t[:, None], hot_s, key), t
 
             hot0 = PG.Hot(caches.hot_k, caches.hot_v, caches.hot_len,
@@ -1069,18 +1075,21 @@ class Engine:
             temps[i] = self._slots[i].temperature
             tops[i] = self._slots[i].top_p
         top_ps = jnp.asarray(tops) if (tops < 1.0).any() else None
+        # all-greedy chunks skip the sampling ops entirely (temps=None is
+        # static -> a separate, cheaper trace; same tokens by definition)
+        temps_arg = jnp.asarray(temps) if (temps > 0).any() else None
         self.key, sk = jax.random.split(self.key)
         if self.paged:
             caches = self._sync_pkv()
             toks, hot_s = self._decode_chunk_paged(
                 self.params, jnp.asarray(last), caches,
                 *self._prefix_args(), sk,
-                jnp.asarray(temps), top_ps, n_steps=T, top_k=top_k)
+                temps_arg, top_ps, n_steps=T, top_k=top_k)
             self.pkv = self._PG.advance(caches, hot_s)
         else:
             toks, arena = self._decode_chunk(
                 self.params, jnp.asarray(last), self.kv.lengths,
-                self._arena(), sk, jnp.asarray(temps), top_ps, n_steps=T,
+                self._arena(), sk, temps_arg, top_ps, n_steps=T,
                 top_k=top_k)
             self._set_arena(arena)
         toks = np.asarray(toks)                     # (B, T)
