@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
                  chunk=1, kv_quant=False, paged=True, hot=32, page=64,
-                 unroll=True):
+                 unroll=True, caches=None):
     """Decode throughput, paged two-level KV cache by default
     (models/paged.py — the serving path: per-step cost scales with used
     context, not capacity; +3% here at 160 ctx, +15% at 2048, +56% on a
@@ -40,15 +40,21 @@ def bench_decode(params, cfg, *, steps=96, warmup=4, batch=1, max_seq=160,
     loop — the lax.scan form dynamic-slices each layer's packed weights
     into a materialized temp every step (opaque-to-fusion Pallas operands;
     dense dots fuse the slice, packed kernels cannot): scan 170 vs
-    unrolled 254 tok/s at 7B 2-bit (docs/PERF.md round 2)."""
+    unrolled 254 tok/s at 7B 2-bit (docs/PERF.md round 2).
+
+    caches: an externally built/prefilled PagedKV (paged mode only) —
+    steady-state probes prefill real context first and hand it in
+    (scripts/bench_steady.py), so this loop stays the ONE copy of the
+    measurement-critical step/flush cadence."""
     from quip_tpu.models import model as M
     from quip_tpu.models import paged as PG
 
     tok = jnp.zeros((batch, 1), jnp.int32)
     if paged:
         assert chunk == 1, "paged bench is per-token dispatch"
-        caches = PG.init_paged(batch, max_seq, cfg, dtype=jnp.bfloat16,
-                               quantized=kv_quant, hot=hot, page=page)
+        if caches is None:
+            caches = PG.init_paged(batch, max_seq, cfg, dtype=jnp.bfloat16,
+                                   quantized=kv_quant, hot=hot, page=page)
 
         if unroll:
             # weights as jit ARGUMENTS (closure constants re-upload per

@@ -81,6 +81,9 @@ def main(argv=None):
 
     mesh = None
     if args.tp > 1 or args.dp > 1:
+        if args.no_paged:
+            p.error("--no_paged is incompatible with --tp/--dp: mesh "
+                    "serving runs the paged production step")
         # the Engine places everything itself (split weights, paged
         # caches, prefixes, spec draft — parallel/mesh.py rules)
         from quip_tpu.parallel.mesh import make_mesh

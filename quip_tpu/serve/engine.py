@@ -287,6 +287,16 @@ class Engine:
         self.mesh = mesh
         if mesh is not None:
             paged = True
+            dp = mesh.shape.get("dp", 1)
+            tp = mesh.shape.get("tp", 1)
+            if max_batch % dp:
+                raise ValueError(
+                    f"max_batch={max_batch} must be divisible by the mesh "
+                    f"dp axis ({dp}) — the KV cache shards its batch axis")
+            if cfg.kv_heads % tp:
+                raise ValueError(
+                    f"kv_heads={cfg.kv_heads} must be divisible by the "
+                    f"mesh tp axis ({tp}) — the KV cache shards its heads")
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -620,9 +630,13 @@ class Engine:
             return sum(x.size * x.dtype.itemsize
                        for x in jax.tree.leaves(tree) if hasattr(x, "size"))
 
-        est = nbytes(self.params) + 2 * nbytes(self.pkv)
+        wb, cb = nbytes(self.params), nbytes(self.pkv)
         if self.mesh is not None:
-            est /= self.mesh.size
+            # packed weights shard over tp ONLY (replicated over dp —
+            # _packed_linear_spec); caches shard batch x heads = dp x tp
+            wb /= self.mesh.shape.get("tp", 1)
+            cb /= self.mesh.size
+        est = wb + 2 * cb
         budget = float(os.environ.get("QUIP_UNROLL_BUDGET_GB",
                                       "13.5")) * 2**30
         return est <= budget
@@ -1126,11 +1140,14 @@ class Engine:
         for a speculative one (32-layer unrolled traces + remote
         compiles), after which steady-state serving ran 552.8 / 185.8
         tok/s respectively (docs/PERF.md round 3). Long-lived servers
-        should warm at startup; the dummy request runs to completion and
-        retires, leaving serving state untouched. 17 new tokens crosses a
+        should warm at startup; the dummy requests run to completion and
+        retire, leaving serving state untouched. 17 new tokens crosses a
         chunk boundary so the chunked program, flush and per-step path
-        all build."""
+        all build. Greedy and sampled batches compile DISTINCT chunk
+        traces (temps=None is a static fast path), so both are run."""
         self.run([dict(prompt=[1], max_new_tokens=17)], chunked=chunked)
+        self.run([dict(prompt=[1], max_new_tokens=17, temperature=0.5,
+                       top_p=0.9)], chunked=chunked)
         return self
 
     def run(self, requests: List[Dict], progress=False,

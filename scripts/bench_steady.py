@@ -9,7 +9,6 @@ empty cache. Run ALONE on the chip (CLAUDE.md measurement rules).
         [--cap 2048] [--kv_quant] [--bits 2]
 """
 import sys
-import time
 from dataclasses import replace
 
 sys.path.insert(0, "/root/repo")
@@ -18,11 +17,16 @@ sys.path.insert(0, "/root/repo/scripts")
 
 def steady(params, cfg, *, ctx=1900, cap=2048, steps=96, kv_quant=False,
            hot=32, page=64):
-    """tok/s decoding at batch 1 with `ctx` tokens already in the cache."""
+    """tok/s decoding at batch 1 with `ctx` tokens already in the cache.
+
+    Prefills real context into a paged cache, then delegates the timed
+    decode loop to bench.bench_decode(caches=...) — ONE copy of the
+    measurement-critical step/flush cadence lives in bench.py."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
+    from bench import bench_decode
     from quip_tpu.models import paged as PG
 
     caches = PG.init_paged(1, cap, cfg, dtype=jnp.bfloat16,
@@ -30,40 +34,12 @@ def steady(params, cfg, *, ctx=1900, cap=2048, steps=96, kv_quant=False,
     toks = jnp.asarray(np.random.default_rng(0).integers(1, 1000, (1, ctx)),
                        jnp.int32)
     plen = jnp.asarray([ctx], jnp.int32)
-    logits, caches = jax.jit(
+    _, caches = jax.jit(
         lambda p, t, pl, c: PG.paged_prefill(p, t, pl, c, cfg),
         donate_argnums=3)(params, toks, plen, caches)
-    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
-
-    misc_layers = PG.split_blocks(params)
-
-    @jax.jit
-    def ustep(misc, layers, tok, caches):
-        lg, hot_s = PG.paged_decode_step_unrolled(misc, layers, tok, caches,
-                                                  cfg, page=page)
-        return jnp.argmax(lg, -1)[:, None].astype(jnp.int32), hot_s
-
-    pflush = jax.jit(PG.flush_hot, donate_argnums=0)
-    n = 0
-
-    def step(tok, caches):
-        nonlocal n
-        tok, hot_s = ustep(*misc_layers, tok, caches)
-        caches = PG.advance(caches, hot_s)
-        n += 1
-        if n >= hot:
-            caches = pflush(caches)
-            n = 0
-        return tok, caches
-
-    for _ in range(4):
-        tok, caches = step(tok, caches)
-    int(tok[0, 0])                 # hard sync (relay: block_until_ready
-    t0 = time.time()               # does not await execution)
-    for _ in range(steps):
-        tok, caches = step(tok, caches)
-    int(tok[0, 0])
-    return steps / (time.time() - t0)
+    return bench_decode(params, cfg, steps=steps, max_seq=cap,
+                        kv_quant=kv_quant, hot=hot, page=page,
+                        caches=caches)
 
 
 def main(argv=None):
