@@ -130,6 +130,52 @@ def test_engine_scan_fallback_matches_unrolled(packed_tiny):
     assert got == want
 
 
+def test_engine_sharded_scan_fallback(packed_tiny):
+    """mesh + unroll=False: the scan-form step over tp-sharded STACKED
+    weights still matches the single-device engine."""
+    cfg, packed = packed_tiny
+    mesh = make_mesh(dp=2, tp=4)
+    plain = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                   hot=8, page=8)
+    shard = Engine(packed, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                   hot=8, page=8, unroll=False)
+    assert not shard.unroll
+    [rp] = plain.run([dict(prompt=[6, 2, 8], max_new_tokens=5)])
+    [rs] = shard.run([dict(prompt=[6, 2, 8], max_new_tokens=5)])
+    assert rs.generated == rp.generated
+
+
+def test_unroll_estimate_is_mesh_aware(packed_tiny, monkeypatch):
+    """The HBM estimate divides weight bytes by tp only (weights replicate
+    over dp) and cache bytes by the full mesh — a budget between the
+    single-device and per-device working sets flips the decision."""
+    import jax
+
+    import quip_tpu.serve.engine as E
+
+    cfg, packed = packed_tiny
+    monkeypatch.setattr(E.jax, "default_backend", lambda: "tpu")
+
+    def nbytes(tree):
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree.leaves(tree) if hasattr(x, "size"))
+
+    probe = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                   hot=8, page=8, unroll=True)
+    wb, cb = nbytes(probe.params), nbytes(probe.pkv)
+    mesh = make_mesh(dp=2, tp=4)
+    per_dev = wb / 4 + 2 * cb / 8
+    full = wb + 2 * cb
+    budget_gb = ((per_dev + full) / 2) / 2**30
+    monkeypatch.setenv("QUIP_UNROLL_BUDGET_GB", repr(budget_gb))
+    single = Engine(packed, cfg, max_batch=2, max_seq=64, paged=True,
+                    hot=8, page=8)
+    sharded = Engine(packed, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                     hot=8, page=8)
+    assert not single.unroll          # over budget on one device
+    assert sharded.unroll             # per-device share fits
+
+
 def test_engine_warmup_leaves_state_clean(packed_tiny):
     """warmup() builds the programs via a dummy request and retires it —
     subsequent serving is unaffected (same tokens as a cold engine)."""
