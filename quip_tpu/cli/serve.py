@@ -66,6 +66,9 @@ def main(argv=None):
                    help="paged mode: hot-ring size (flush period)")
     p.add_argument("--page", type=int, default=64,
                    help="paged mode: frozen-arena read-page size")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-build the serving programs before the timed "
+                        "batch (HTTP mode always warms; see Engine.warmup)")
     p.add_argument("--no_chunked", action="store_true",
                    help="decode per-token instead of up to 16 tokens per "
                         "dispatch (chunked amortizes the per-step host "
@@ -146,6 +149,9 @@ def main(argv=None):
             loop.shutdown()
         return
 
+    if args.warmup:
+        print("warming serving programs...", file=sys.stderr)
+        eng.warmup(chunked=not args.no_chunked)
     stop = list(args.stop_token or [])
     if args.stop_eos:
         eos = getattr(tokenizer, "eos_token_id", None)
