@@ -251,24 +251,42 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
     hlen = (pos[:, 0] - pre0 - caches.base).astype(jnp.int32)  # == hot_len
     zero = jnp.zeros((), jnp.int32)
 
-    def upd(arr_b, new_b, at):
-        return lax.dynamic_update_slice(
-            arr_b, new_b.astype(arr_b.dtype), (at, zero, zero))
+    # One-hot select write, NOT vmap(dynamic_update_slice): per-slot start
+    # indices lower the vmapped slice-update to a TPU scatter that costs
+    # ~0.17 ms/slot/step — 5.5 ms of the 16.4 ms b32 decode step, the
+    # dominant batched-serving cost (scripts/bench_batch.py, docs/PERF.md
+    # round 4: 1947 -> 2923 tok/s b32, +3%/+17% at b1/b8). The einsum
+    # gathers window row j-hlen[b] for ring row j (exact: each output sums
+    # ONE value; f32 accumulate is exact for bf16/int8 payloads), and the
+    # where keeps rows outside [hlen, hlen+S). Divergent per-slot hlen is
+    # fine (unlike a shared-index slice), so spec rollback and mid-ring
+    # admission keep working.
+    ridx = jnp.arange(P, dtype=jnp.int32)[None, :]            # (1, P)
+    win = ridx - hlen[:, None]                                # (B, P)
+    inwin = (win >= 0) & (win < S)
+    onehot = (jax.nn.one_hot(jnp.clip(win, 0, S - 1), S, dtype=jnp.float32)
+              * inwin[..., None].astype(jnp.float32))         # (B, P, S)
+    sel4 = inwin[:, :, None, None]
 
-    def upd_s(arr_b, new_b, at):
-        return lax.dynamic_update_slice(arr_b, new_b, (at, zero))
+    def hot_write(ring, new):                   # (B,P,KV,hd) <- (B,S,KV,hd)
+        g = jnp.einsum("bps,bskd->bpkd", onehot, new.astype(jnp.float32))
+        return jnp.where(sel4, g.astype(ring.dtype), ring)
+
+    def hot_write_s(ring, new):                 # (B,P,KV) <- (B,S,KV)
+        g = jnp.einsum("bps,bsk->bpk", onehot, new.astype(jnp.float32))
+        return jnp.where(inwin[:, :, None], g.astype(ring.dtype), ring)
 
     ks_new = vs_new = None
     if hks_l is not None:
         k8, ksc = M.quantize_kv(k)
         v8, vsc = M.quantize_kv(v)
-        hot_k_l = jax.vmap(upd)(hot_k_l, k8, hlen)
-        hot_v_l = jax.vmap(upd)(hot_v_l, v8, hlen)
-        ks_new = jax.vmap(upd_s)(hks_l, ksc, hlen)
-        vs_new = jax.vmap(upd_s)(hvs_l, vsc, hlen)
+        hot_k_l = hot_write(hot_k_l, k8)
+        hot_v_l = hot_write(hot_v_l, v8)
+        ks_new = hot_write_s(hks_l, ksc)
+        vs_new = hot_write_s(hvs_l, vsc)
     else:
-        hot_k_l = jax.vmap(upd)(hot_k_l, k, hlen)
-        hot_v_l = jax.vmap(upd)(hot_v_l, v, hlen)
+        hot_k_l = hot_write(hot_k_l, k)
+        hot_v_l = hot_write(hot_v_l, v)
 
     q2 = q.reshape(B, S, KV, rep, hd).transpose(0, 2, 3, 1, 4)
     slopes = (M.alibi_slopes(H).reshape(KV, rep)
