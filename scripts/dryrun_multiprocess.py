@@ -104,8 +104,55 @@ def _worker():
     lg = np.asarray(jax.device_get(logits.addressable_shards[0].data))
     assert np.isfinite(lg).all()
 
+    # ---- leg 3: PRODUCTION ENGINE STEP across process boundaries ----
+    # The exact form Engine dispatches in production (VERDICT r3 item 6):
+    # unrolled pre-split per-layer trees, a widen_3bit 3-in-4 transcoded
+    # packed model, paged two-level KV — decode + append + flush, with
+    # the custom-partitioned Pallas-kernel path's SPMD rules driving the
+    # cross-process collectives. Every process builds identical params
+    # (same PRNG seed) and jax.device_put scatters the local shards.
+    from quip_tpu.models import paged as PG
+    from quip_tpu.pack.format import widen_3bit_tree
+    from quip_tpu.parallel.mesh import shard_paged, shard_split
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _packed_llama
+
+    p3 = widen_3bit_tree(_packed_llama(cfg, bits=3, seed=3, head_bits=3))
+    split = shard_split(PG.as_split(p3), cfg, mesh)
+    pkv = shard_paged(
+        PG.init_paged(B, 32, cfg, dtype=jnp.float32, hot=8, page=8), mesh)
+    tok_s = jax.device_put(tok, NamedSharding(mesh, P("dp", None)))
+
+    @jax.jit
+    def engine_step(misc, layers, tok, caches):
+        return PG.paged_decode_step_unrolled(misc, layers, tok, caches,
+                                             cfg, page=8)
+
+    elogits, ehot = engine_step(split.misc, split.layers, tok_s, pkv)
+    elogits.block_until_ready()
+    el = np.asarray(jax.device_get(elogits.addressable_shards[0].data))
+    assert np.isfinite(el).all()
+
+    @jax.jit
+    def engine_append(misc, layers, toks, caches):
+        return PG.paged_append_step_unrolled(misc, layers, toks, caches,
+                                             cfg, page=8)
+
+    atoks = jax.device_put(jnp.zeros((B, 3), jnp.int32),
+                           NamedSharding(mesh, P("dp", None)))
+    alogits, ahot = engine_append(split.misc, split.layers, atoks,
+                                  PG.advance(pkv, ehot))
+    alogits.block_until_ready()
+    flushed = jax.jit(PG.flush_hot)(PG.advance(pkv, ahot))
+    flushed.k.block_until_ready()
+    assert np.isfinite(np.asarray(
+        jax.device_get(alogits.addressable_shards[0].data))).all()
+
     print(f"[proc {proc_id}] OK: {nprocs} procs x {n_local} local devices, "
-          f"mesh {dict(mesh.shape)}", flush=True)
+          f"mesh {dict(mesh.shape)}; engine-step leg (unrolled + "
+          f"widen_3bit + paged flush) crossed process collectives",
+          flush=True)
 
 
 def _orchestrate(nprocs: int, local: int) -> int:
