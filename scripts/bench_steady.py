@@ -29,6 +29,14 @@ def steady(params, cfg, *, ctx=1900, cap=2048, steps=96, kv_quant=False,
     from bench import bench_decode
     from quip_tpu.models import paged as PG
 
+    # bench_decode runs `warmup` (default 4) untimed steps before `steps`
+    # timed ones; overflowing the arena would CLAMP the flush writes and
+    # silently corrupt the measurement rather than erroring (ADVICE r3)
+    warmup = 4
+    if ctx + steps + warmup > cap:
+        raise ValueError(
+            f"ctx({ctx}) + steps({steps}) + warmup({warmup}) exceeds "
+            f"cap({cap}) — raise --cap or lower --ctx/--steps")
     caches = PG.init_paged(1, cap, cfg, dtype=jnp.bfloat16,
                            quantized=kv_quant, hot=hot, page=page)
     toks = jnp.asarray(np.random.default_rng(0).integers(1, 1000, (1, ctx)),
