@@ -73,6 +73,14 @@ def main(argv=None):
                    help="decode per-token instead of up to 16 tokens per "
                         "dispatch (chunked amortizes the per-step host "
                         "read 16x on relayed backends)")
+    p.add_argument("--no_overlap", action="store_true",
+                   help="serial chunk loop instead of the overlapped "
+                        "double-buffered scheduler (Engine.pump) — A/B "
+                        "switch; tokens are identical under greedy")
+    p.add_argument("--admit_limit", type=int, default=None,
+                   help="max prefills per scheduling boundary while decode "
+                        "is ongoing (burst admission otherwise stalls the "
+                        "running streams; unset = admit greedily)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -127,7 +135,7 @@ def main(argv=None):
                  cache_dtype=cache_dtype, paged=not args.no_paged,
                  hot=args.hot, page=args.page, seed=args.seed,
                  draft=draft, spec_k=args.spec_k, shared_prefix=prefix,
-                 mesh=mesh)
+                 mesh=mesh, admit_limit=args.admit_limit)
     if args.http is not None:
         from quip_tpu.serve.server import serve_http
         # build all serving programs before accepting traffic (a cold
@@ -137,7 +145,8 @@ def main(argv=None):
         eng.warmup(chunked=not args.no_chunked)
         httpd, loop = serve_http(eng, host=args.host, port=args.http,
                                  tokenizer=tokenizer,
-                                 chunked=not args.no_chunked)
+                                 chunked=not args.no_chunked,
+                                 overlap=not args.no_overlap)
         print(f"serving on http://{args.host}:{args.http} "
               f"(POST /generate, GET /health)", file=sys.stderr)
         try:
@@ -163,7 +172,8 @@ def main(argv=None):
                          temperature=args.temperature, top_k=args.top_k,
                          top_p=args.top_p, stop=stop or None)
                     for s in prompts],
-                   chunked=not args.no_chunked)
+                   chunked=not args.no_chunked,
+                   overlap=not args.no_overlap)
     dt = time.time() - t0
     total_toks = sum(len(r.generated) for r in reqs)
     for s, r in zip(prompts, reqs):

@@ -35,10 +35,12 @@ from quip_tpu.serve.engine import Engine
 class EngineLoop:
     """Owns the Engine on a single worker thread; thread-safe submit."""
 
-    def __init__(self, engine: Engine, tokenizer=None, chunked: bool = True):
+    def __init__(self, engine: Engine, tokenizer=None, chunked: bool = True,
+                 overlap: bool = True):
         self.engine = engine
         self.tokenizer = tokenizer
         self.chunked = chunked
+        self.overlap = overlap
         self._inbox: "queue.Queue" = queue.Queue()
         self._events: dict = {}           # uid -> (Event, Request)
         self._lock = threading.Lock()
@@ -98,10 +100,18 @@ class EngineLoop:
         while not self._stop.is_set():
             with self._lock:
                 self._drain_inbox()
+                # _pending: a dispatched-but-uncommitted chunk from the
+                # overlapped pump loop — the loop must keep pumping until
+                # it is committed even if every slot just retired
                 busy = (any(s is not None for s in self.engine._slots)
-                        or self.engine._queue)
+                        or self.engine._queue
+                        or self.engine._pending is not None)
                 if busy:
-                    if self.chunked:
+                    if self.chunked and self.overlap:
+                        # overlapped double-buffered scheduling: the host
+                        # read of chunk N runs while chunk N+1 executes
+                        self.engine.pump()
+                    elif self.chunked:
                         self.engine.step_chunk()
                     else:
                         self.engine.step()
@@ -226,12 +236,13 @@ def make_handler(loop: EngineLoop, timeout_s: float = 600.0):
 
 
 def serve_http(engine: Engine, host: str = "127.0.0.1", port: int = 8000,
-               tokenizer=None, chunked: bool = True
+               tokenizer=None, chunked: bool = True, overlap: bool = True
                ) -> tuple:
     """Start the engine loop + HTTP server. Returns (httpd, loop); call
     httpd.shutdown() and loop.shutdown() to stop. Blocking callers can
     invoke httpd.serve_forever() themselves via the returned object."""
-    loop = EngineLoop(engine, tokenizer=tokenizer, chunked=chunked)
+    loop = EngineLoop(engine, tokenizer=tokenizer, chunked=chunked,
+                      overlap=overlap)
     loop.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(loop))
     return httpd, loop
