@@ -294,6 +294,56 @@ def section_ab(packed, cfg, steps):
               flush=True)
 
 
+def section_int8batch(packed, cfg, steps):
+    """int8 KV at batch: the b32 steady step is cache-bandwidth-bound
+    (page loop ~90% of roofline, kvmajor A/B null — docs/PERF.md r4), so
+    halving cache bytes is the remaining lever. b32 cap-256 bf16 vs int8,
+    empty and steady-150."""
+    from bench import bench_decode
+    for ctx in (0, 150):
+        for kvq in (False, True):
+            caches = (prefilled_caches(packed, cfg, 32, 256, ctx,
+                                       kv_quant=kvq) if ctx else None)
+            t0 = time.time()
+            tps = bench_decode(packed, cfg, steps=steps, batch=32,
+                               max_seq=256, kv_quant=kvq, caches=caches)
+            print(f"int8batch b32 ctx={ctx:3d} "
+                  f"kv={'int8' if kvq else 'bf16'}: {tps:8.1f} tok/s  "
+                  f"({1000.0 * 32 / tps:6.2f} ms/step)  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+            del caches
+
+
+def section_13b(steps):
+    """13B serving tier after the scatter-write fix: b1 unrolled, b32
+    scan-fallback bf16, b32 int8+unrolled (r3 band: 158.7 / 1216 / 1127
+    — the one-hot write applies to BOTH step forms)."""
+    from dataclasses import replace
+
+    from __graft_entry__ import _packed_llama
+    from bench import bench_decode
+    from quip_tpu.models import get_config
+
+    cfg13 = replace(get_config("llama-2-13b"), dtype="bfloat16")
+    t0 = time.time()
+    p13 = _packed_llama(cfg13, bits=2, seed=0, head_bits=2)
+    jax.block_until_ready(jax.tree.leaves(p13)[0])
+    print(f"# built 13B packed in {time.time()-t0:.0f}s", flush=True)
+    rows = [("b1 unrolled", dict(batch=1, max_seq=160, unroll=True)),
+            ("b32 scan bf16", dict(batch=32, max_seq=256, unroll=False)),
+            ("b32 unrolled int8", dict(batch=32, max_seq=256, unroll=True,
+                                       kv_quant=True))]
+    for tag, kw in rows:
+        try:
+            t0 = time.time()
+            tps = bench_decode(p13, cfg13, steps=steps, **kw)
+            print(f"13b {tag:18s}: {tps:8.1f} tok/s  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        except Exception:
+            traceback.print_exc()
+            print(f"13b {tag} FAILED (continuing)", flush=True)
+
+
 def section_longctx(packed, cfg, steps):
     from bench import bench_decode
     cap = 8192 + 64
@@ -346,7 +396,9 @@ def main():
     for name, fn in [
         ("ab", lambda: section_ab(packed, cfg, steps)),
         ("kvmajor", lambda: section_kvmajor(packed, cfg)),
+        ("int8batch", lambda: section_int8batch(packed, cfg, steps)),
         ("longctx", lambda: section_longctx(packed, cfg, steps)),
+        ("13b", lambda: section_13b(steps)),
     ]:
         if name not in sections:
             continue
