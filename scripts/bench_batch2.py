@@ -314,6 +314,24 @@ def section_int8batch(packed, cfg, steps):
             del caches
 
 
+def section_hotsweep(packed, cfg, steps):
+    """Hot-ring size at batch, POST-scatter-fix: the r1 sweep (b32
+    hot{8,16,32,64} = 1731/1876/1901/1841) was taken when the per-slot
+    scatter dominated; with the one-hot write the ring's in/out traffic
+    (O(B x hot) per step) is a bigger relative share, so smaller rings
+    may win now."""
+    from bench import bench_decode
+    for ctx in (0, 150):
+        for hot in (8, 16, 32, 64):
+            caches = (prefilled_caches(packed, cfg, 32, 256, ctx, hot=hot)
+                      if ctx else None)
+            tps = bench_decode(packed, cfg, steps=steps, batch=32,
+                               max_seq=256, hot=hot, caches=caches)
+            print(f"hotsweep b32 ctx={ctx:3d} hot={hot:2d}: "
+                  f"{tps:8.1f} tok/s", flush=True)
+            del caches
+
+
 def section_13b(steps):
     """13B serving tier after the scatter-write fix: b1 unrolled, b32
     scan-fallback bf16, b32 int8+unrolled (r3 band: 158.7 / 1216 / 1127
@@ -398,6 +416,7 @@ def main():
         ("kvmajor", lambda: section_kvmajor(packed, cfg)),
         ("int8batch", lambda: section_int8batch(packed, cfg, steps)),
         ("longctx", lambda: section_longctx(packed, cfg, steps)),
+        ("hotsweep", lambda: section_hotsweep(packed, cfg, steps)),
         ("13b", lambda: section_13b(steps)),
     ]:
         if name not in sections:
