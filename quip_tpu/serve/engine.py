@@ -330,10 +330,15 @@ class Engine:
         # stall and admission always fills greedily.
         self.admit_limit = admit_limit
         # overlapped-pipeline state (see pump()): the in-flight chunk and
-        # the device-resident (B, 1) next-token frontier
+        # the device-resident (B, 1) next-token frontier. _cursors_dirty:
+        # host-authoritative cursors must be re-pushed to the device at
+        # the next overlapped dispatch (retire / serial step / prefix
+        # admission de-synced the device copies).
         self._pending: Optional[Dict[str, Any]] = None
         self._last_dev: Optional[jax.Array] = None
         self._host_token_slots: set = set()
+        self._cursors_dirty = True
+        self._prefix_cache = (None, None)
         # observability aggregates (Engine.stats)
         self.accept_hist: List[int] = []   # spec: emitted tokens per step
         self._done_reqs = 0
@@ -612,7 +617,13 @@ class Engine:
 
         # chunked decode with in-graph sampling: the scan carries only the
         # hot ring (O(hot) per iteration), unlike the arena decode_chunk
-        # whose carries copy the whole cache on no-donation runtimes
+        # whose carries copy the whole cache on no-donation runtimes.
+        # Returns the FULL final carry — (toks, next-token frontier,
+        # hot, next key) — so the overlapped pump loop can chain chunk
+        # N+1 entirely on-device: every extra eager op / host->device
+        # transfer per chunk is a serial relay interaction (docs/PERF.md
+        # round 4: ~65 ms/chunk of non-overlapped host work at 62%
+        # capture).
         def decode_chunk_paged(sp, tokens, caches, prefix,
                                pre_on, key, temps, top_ps, n_steps, top_k):
             def body(carry, _):
@@ -630,14 +641,18 @@ class Engine:
 
             hot0 = PG.Hot(caches.hot_k, caches.hot_v, caches.hot_len,
                           caches.hot_ks, caches.hot_vs)
-            (_, hot_s, _), toks = lax.scan(body, (tokens, hot0, key), None,
-                                           length=n_steps)
-            return toks.T, hot_s
+            (last, hot_s, key), toks = lax.scan(
+                body, (tokens, hot0, key), None, length=n_steps)
+            return toks.T, last, hot_s, key
 
         _chunk_j = jax.jit(
             decode_chunk_paged, static_argnames=("n_steps", "top_k"))
         self._decode_chunk_paged = (
             lambda params, *a, **kw: _chunk_j(self._tsplit, *a, **kw))
+        # device-resident PRNG chain for the overlapped loop (host key
+        # splits are eager relay ops); forked from the host key so the
+        # serial loop's sampling streams are unaffected
+        self._key_dev = jax.random.fold_in(self.key, 0x0EE1)
 
     def _unroll_fits(self) -> bool:
         """Estimate whether the UNROLLED paged decode program fits the
@@ -839,6 +854,9 @@ class Engine:
             self._hotlen[i] += n           # only this slot really advanced
             pos += n
             logits_last = logits_w[i, n - 1][None]
+        # the append windows advanced device hot_len for EVERY slot; the
+        # host mirror advanced only slot i
+        self._cursors_dirty = True
         return logits_last
 
     def _admit(self, limit: Optional[int] = None):
@@ -986,6 +1004,8 @@ class Engine:
                                                jnp.asarray(last), caches,
                                                *self._prefix_args())
             self.pkv = self._PG.advance(caches, hot_s)
+            self._cursors_dirty = True     # device hot_len advanced for
+                                           # ALL slots; host only active
         else:
             logits, arena = self._decode(
                 self.params, jnp.asarray(last), self.kv.lengths,
@@ -1154,11 +1174,13 @@ class Engine:
         self.key, sk = jax.random.split(self.key)
         if self.paged:
             caches = self._sync_pkv()
-            toks, hot_s = self._decode_chunk_paged(
+            toks, _, hot_s, _ = self._decode_chunk_paged(
                 self.params, jnp.asarray(last), caches,
                 *self._prefix_args(), sk,
                 temps_arg, top_ps, n_steps=T, top_k=top_k)
             self.pkv = self._PG.advance(caches, hot_s)
+            self._cursors_dirty = True     # device hot_len advanced for
+                                           # ALL slots; host only active
         else:
             toks, arena = self._decode_chunk(
                 self.params, jnp.asarray(last), self.kv.lengths,
@@ -1214,6 +1236,7 @@ class Engine:
         self._mark_done(self._slots[i])
         self._slots[i] = None
         self._host_token_slots.discard(i)
+        self._cursors_dirty = True
         if self.paged:
             self._base[i] = 0
             self._hotlen[i] = 0
@@ -1284,17 +1307,32 @@ class Engine:
             tops[i] = self._slots[i].top_p
         top_ps = jnp.asarray(tops) if (tops < 1.0).any() else None
         temps_arg = jnp.asarray(temps) if (temps > 0).any() else None
-        self.key, sk = jax.random.split(self.key)
-        caches = self._sync_pkv()
-        toks, hot_s = self._decode_chunk_paged(
-            self.params, last, caches, *self._prefix_args(), sk,
+        # Minimize per-chunk relay interactions (each eager op or
+        # host->device transfer is a serial round trip — docs/PERF.md r4):
+        # cursors, PRNG key and the token frontier all stay device-
+        # resident on the clean path. Device cursors equal the host
+        # mirror exactly while every slot is occupied (the chunk advances
+        # hot_len for all slots; host advances active == all); any
+        # retire/serial-step/prefix-admission sets _cursors_dirty and the
+        # next dispatch re-pushes the host-authoritative values.
+        need_sync = self._cursors_dirty or any(
+            s is None for s in self._slots)
+        if need_sync:
+            caches = self._sync_pkv()
+            self._prefix_cache = self._prefix_args()
+            self._cursors_dirty = False
+        else:
+            caches = self.pkv
+        toks, last_next, hot_s, key_next = self._decode_chunk_paged(
+            self.params, last, caches, *self._prefix_cache, self._key_dev,
             temps_arg, top_ps, n_steps=T, top_k=ks.pop())
+        self._key_dev = key_next
         self.pkv = self._PG.advance(caches, hot_s)
         try:
             toks.copy_to_host_async()     # start the read alongside N+1
         except AttributeError:
             pass
-        self._last_dev = toks[:, -1:]
+        self._last_dev = last_next
         for i in active:
             self._hotlen[i] += T          # optimistic; commit never re-adds
         self._maybe_flush()

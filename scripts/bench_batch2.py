@@ -332,10 +332,16 @@ def section_hotsweep(packed, cfg, steps):
             del caches
 
 
-def section_13b(steps):
+def section_13b(steps, holder=None):
     """13B serving tier after the scatter-write fix: b1 unrolled, b32
     scan-fallback bf16, b32 int8+unrolled (r3 band: 158.7 / 1216 / 1127
-    — the one-hot write applies to BOTH step forms)."""
+    — the one-hot write applies to BOTH step forms). holder: the main
+    7B model dict — freed first (13B b32 caches + weights need ~12 GB;
+    holding the 7B alongside OOM'd this section in session 3)."""
+    import gc
+    if holder:
+        holder.clear()
+        gc.collect()
     from dataclasses import replace
 
     from __graft_entry__ import _packed_llama
@@ -403,10 +409,13 @@ def main():
         cfg = replace(get_config("llama-2-7b"), dtype="bfloat16")
         steps = 96
 
-    t0 = time.time()
-    packed = _packed_llama(cfg, bits=2, seed=0, head_bits=2)
-    jax.block_until_ready(jax.tree.leaves(packed)[0])
-    print(f"# built packed in {time.time()-t0:.0f}s", flush=True)
+    holder = {}
+    if sections != ["13b"]:
+        t0 = time.time()
+        holder["p"] = _packed_llama(cfg, bits=2, seed=0, head_bits=2)
+        jax.block_until_ready(jax.tree.leaves(holder["p"])[0])
+        print(f"# built packed in {time.time()-t0:.0f}s", flush=True)
+    packed = holder.get("p")
 
     if ARGS.smoke:
         _smoke_check(packed, cfg)
@@ -417,7 +426,7 @@ def main():
         ("int8batch", lambda: section_int8batch(packed, cfg, steps)),
         ("longctx", lambda: section_longctx(packed, cfg, steps)),
         ("hotsweep", lambda: section_hotsweep(packed, cfg, steps)),
-        ("13b", lambda: section_13b(steps)),
+        ("13b", lambda: section_13b(steps, holder)),
     ]:
         if name not in sections:
             continue

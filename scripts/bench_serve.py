@@ -89,12 +89,12 @@ def section_e2e(mk_engine, n_req, plen, new):
     import jax.random as jr
     args = (eng.params, last, caches, *eng._prefix_args(), jr.PRNGKey(0),
             None, None)
-    toks, _ = eng._decode_chunk_paged(*args, n_steps=T, top_k=0)
+    toks, _, _, _ = eng._decode_chunk_paged(*args, n_steps=T, top_k=0)
     np.asarray(toks)                               # compile+sync
     t0 = time.time()
     reps = 6
     for _ in range(reps):
-        toks, _ = eng._decode_chunk_paged(*args, n_steps=T, top_k=0)
+        toks, _, _, _ = eng._decode_chunk_paged(*args, n_steps=T, top_k=0)
         np.asarray(toks)
     dt = (time.time() - t0) / reps
     tps_disp = B * T / dt
