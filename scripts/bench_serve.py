@@ -101,7 +101,23 @@ def section_e2e(mk_engine, n_req, plen, new):
     print(f"in-dispatch: {tps_disp:7.1f} tok/s ({dt*1e3:.1f} ms/chunk)  "
           f"capture serial {tps_serial/tps_disp*100:.0f}% / overlap "
           f"{tps_overlap/tps_disp*100:.0f}%", flush=True)
-    return eng
+
+    # longer chunks amortize the per-chunk host overhead further (T=32
+    # needs hot >= 33 so a chunk never crosses a flush)
+    del eng
+    eng32 = mk_engine(hot=64)
+    for _ in range(2):
+        t0 = time.time()
+        uids = [eng32.submit(**r) for r in [dict(r) for r in reqs]]
+        handles = {r.uid: r for r in eng32._queue}
+        while eng32.pump(max_chunk=32):
+            pass
+        dt32 = time.time() - t0
+    toks = sum(len(handles[u].generated) for u in uids)
+    print(f"e2e overlap T=32 hot=64: {toks/dt32:7.1f} tok/s "
+          f"({toks/dt32/tps_disp*100:.0f}% of the T=16 in-dispatch "
+          f"ceiling)", flush=True)
+    return eng32
 
 
 def drive_arrivals(eng, trace):
@@ -204,10 +220,12 @@ def main():
         print(f"# built packed in {time.time()-t0:.0f}s", flush=True)
         n_req, plen, new, max_seq = 24, 64, 64, 192
 
-    def mk_engine(admit_limit=None):
-        return Engine(params, cfg, max_batch=8, max_seq=max_seq,
-                      cache_dtype=jnp.bfloat16, paged=True, hot=32,
-                      page=64, admit_limit=admit_limit)
+    def mk_engine(admit_limit=None, **kw):
+        base = dict(max_batch=8, max_seq=max_seq,
+                    cache_dtype=jnp.bfloat16, paged=True, hot=32,
+                    page=64, admit_limit=admit_limit)
+        base.update(kw)
+        return Engine(params, cfg, **base)
 
     import traceback
     rates = [float(r) for r in ARGS.rates.split(",")]
