@@ -248,8 +248,15 @@ def test_greedy_until_shared_engine(tiny_lm):
                for p in prompts]
     batched = tiny_lm.greedy_until(list(prompts), max_gen_toks=4)
     assert batched == singles
-    # one engine per max_seq bucket, reused across all calls above
-    assert len(tiny_lm._gen_engines) == 1
+    # ONE cached engine, reused across all calls above; a smaller-bucket
+    # request reuses it and a larger bucket REPLACES it rather than
+    # accumulating per-bucket engines (ADVICE r3: device KV allocations
+    # piled up across a mixed-length task list)
+    eng = tiny_lm._gen_engine_cached
+    assert tiny_lm._gen_engine(eng.max_seq // 2) is eng
+    bigger = tiny_lm._gen_engine(eng.max_seq * 2)
+    assert bigger is not eng
+    assert tiny_lm._gen_engine_cached is bigger
 
 
 def test_synthetic_task_cli_offline(tiny_lm, capsys):
