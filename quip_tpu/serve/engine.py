@@ -339,6 +339,16 @@ class Engine:
         self._host_token_slots: set = set()
         self._cursors_dirty = True
         self._prefix_cache = (None, None)
+        # async admission (pump loop): first tokens sampled ON DEVICE at
+        # prefill time; values resolved lazily (one batched read at the
+        # next commit) so admission never blocks the decode pipeline
+        self._first_pending: List = []     # [(slot, Request, tok_dev)]
+        self._dev_token_rows: Dict[int, Any] = {}
+        # pump-phase wall-clock accumulators (stats(): where the host
+        # loop's time goes — dispatch enqueue vs blocking commit read vs
+        # bookkeeping); negligible overhead, always on
+        self._t_pump = dict(dispatch=0.0, commit_read=0.0, bookkeep=0.0,
+                            admit=0.0, chunks=0)
         # observability aggregates (Engine.stats)
         self.accept_hist: List[int] = []   # spec: emitted tokens per step
         self._done_reqs = 0
@@ -750,6 +760,10 @@ class Engine:
         if self._done_reqs:
             out["mean_ttft_s"] = self._ttft_sum / self._done_reqs
             out["mean_request_s"] = self._req_time_sum / self._done_reqs
+        if self._t_pump["chunks"]:
+            out["pump_phase_ms_per_chunk"] = {
+                k: round(v * 1e3 / self._t_pump["chunks"], 2)
+                for k, v in self._t_pump.items() if k != "chunks"}
         if self.spec and self.accept_hist:
             h = np.bincount(np.asarray(self.accept_hist),
                             minlength=self.spec_k + 1)
@@ -859,12 +873,19 @@ class Engine:
         self._cursors_dirty = True
         return logits_last
 
-    def _admit(self, limit: Optional[int] = None):
+    def _admit(self, limit: Optional[int] = None,
+               async_first: bool = False):
         """Fill free slots from the queue (prefill + first token).
 
         ``limit`` caps admissions at this boundary (engine default:
         ``self.admit_limit``) so prefills don't stall ongoing decode for
-        a whole burst; ignored when nothing is decoding."""
+        a whole burst; ignored when nothing is decoding.
+
+        ``async_first`` (pump loop, paged non-prefix requests): the first
+        token is sampled ON DEVICE from the prefill logits and its value
+        is read back lazily, batched into the next commit — the blocking
+        per-admission logits read (~65 ms each incl. the relay round
+        trip) otherwise sits in the decode critical path."""
         if limit is None:
             limit = self.admit_limit
         if limit is not None and not any(
@@ -914,6 +935,14 @@ class Engine:
                 self.key, sk = jax.random.split(self.key)
                 tp = (jnp.asarray([req.top_p]) if req.top_p < 1.0
                       else None)
+                if async_first and self.paged and not req.use_prefix:
+                    tok_dev = _sample(sk, logits,
+                                      jnp.asarray([req.temperature]),
+                                      req.top_k, tp).astype(jnp.int32)
+                    self._first_pending.append((i, req, tok_dev))
+                    self._dev_token_rows[i] = tok_dev
+                    self._host_token_slots.discard(i)
+                    continue
                 tok = int(_sample(sk, logits,
                                   jnp.asarray([req.temperature]),
                                   req.top_k, tp)[0])
@@ -1236,6 +1265,9 @@ class Engine:
         self._mark_done(self._slots[i])
         self._slots[i] = None
         self._host_token_slots.discard(i)
+        self._dev_token_rows.pop(i, None)   # a stale device first-token
+                                            # must never reach a future
+                                            # occupant's frontier row
         self._cursors_dirty = True
         if self.paged:
             self._base[i] = 0
@@ -1244,6 +1276,33 @@ class Engine:
                 self._prefix_on[i] = 0
         else:
             self.kv.lengths = self.kv.lengths.at[i].set(0)
+
+    def _resolve_first_tokens(self) -> None:
+        """Materialize async-admitted first tokens (ONE batched read).
+
+        Called at commit time (and before any host-side token gather):
+        by then the prefills have long executed, so the read costs one
+        round trip for the whole batch of pending scalars. Stop-token
+        hits at the first token retire here — their slot's in-flight
+        rows die exactly like any other mispredicted slot's."""
+        if not self._first_pending:
+            return
+        pend, self._first_pending = self._first_pending, []
+        vals = np.asarray(jnp.concatenate([t for _, _, t in pend]))
+        now = time.time()
+        for (i, req, _), v in zip(pend, vals):
+            if self._slots[i] is not req:
+                continue                      # already rolled back
+            req.generated.insert(0, int(v))
+            req.t_first = now
+            self._dev_token_rows.pop(i, None)
+            if req.stop and int(v) in req.stop:
+                self._retire_slot(i)
+
+    def _pending_first_count(self, i: int) -> int:
+        req = self._slots[i]
+        return sum(1 for j, r, _ in self._first_pending
+                   if j == i and r is req)
 
     def _try_dispatch(self, active: List[int], max_chunk: int):
         """Dispatch the next decode chunk against optimistic cursors.
@@ -1266,7 +1325,9 @@ class Engine:
         remaining = self.max_seq
         for i in active:
             req = self._slots[i]
-            infl = inflight.get(i, 0)
+            # async-admitted first tokens are generated but not yet
+            # materialized on the host — they still count against budget
+            infl = inflight.get(i, 0) + self._pending_first_count(i)
             committed = len(req.prompt) + len(req.generated) - 1
             remaining = min(
                 remaining,
@@ -1284,12 +1345,19 @@ class Engine:
 
         # input frontier: device-resident last tokens of the previous
         # chunk; rows for slots admitted since then come from the host
+        # (sync admission) or straight from the device-sampled first
+        # token (async admission — no host value exists yet)
         if self._last_dev is None:
+            self._resolve_first_tokens()
+            active = [i for i in active if self._slots[i] is not None]
+            if not active:
+                return None
             last = np.zeros((self.max_batch, 1), np.int32)
             for i in active:
                 last[i, 0] = self._slots[i].generated[-1]
             last = jnp.asarray(last)
             self._host_token_slots.clear()
+            self._dev_token_rows.clear()
         else:
             last = self._last_dev
             rows = sorted(self._host_token_slots.intersection(active))
@@ -1299,6 +1367,10 @@ class Engine:
                     np.int32)
                 last = last.at[jnp.asarray(rows)].set(jnp.asarray(vals))
                 self._host_token_slots.difference_update(rows)
+            for i in list(self._dev_token_rows):
+                if i in active:
+                    last = last.at[i, 0].set(self._dev_token_rows[i][0])
+                    del self._dev_token_rows[i]
 
         temps = np.zeros((self.max_batch,), np.float32)
         tops = np.ones((self.max_batch,), np.float32)
@@ -1323,9 +1395,12 @@ class Engine:
             self._cursors_dirty = False
         else:
             caches = self.pkv
+        _t0 = time.perf_counter()
         toks, last_next, hot_s, key_next = self._decode_chunk_paged(
             self.params, last, caches, *self._prefix_cache, self._key_dev,
             temps_arg, top_ps, n_steps=T, top_k=ks.pop())
+        self._t_pump["dispatch"] += time.perf_counter() - _t0
+        self._t_pump["chunks"] += 1
         self._key_dev = key_next
         self.pkv = self._PG.advance(caches, hot_s)
         try:
@@ -1341,7 +1416,12 @@ class Engine:
 
     def _commit_chunk(self, pend: Dict[str, Any]) -> None:
         """Blocking host read + bookkeeping for a dispatched chunk."""
+        self._resolve_first_tokens()    # batched; same queue position as
+                                        # the chunk read below
+        _t0 = time.perf_counter()
         toks = np.asarray(pend["toks"])             # (B, T)
+        self._t_pump["commit_read"] += time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         for i, uid in zip(pend["slots"], pend["uids"]):
             req = self._slots[i]
             if req is None or req.uid != uid:
@@ -1355,6 +1435,7 @@ class Engine:
                 # rows past the truncation — and everything the in-flight
                 # next chunk wrote for this slot — are dead: cursors reset
                 self._retire_slot(i)
+        self._t_pump["bookkeep"] += time.perf_counter() - _t0
 
     def pump(self, max_chunk: int = 16) -> bool:
         """One overlapped scheduling iteration (see class comment above).
@@ -1379,7 +1460,9 @@ class Engine:
                 and any(s is None for s in self._slots)):
             self._commit_chunk(self._pending)
             self._pending = None
-        self._admit()
+        _t0 = time.perf_counter()
+        self._admit(async_first=True)
+        self._t_pump["admit"] += time.perf_counter() - _t0
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active and self._pending is None:
             return bool(self._queue)
@@ -1391,6 +1474,9 @@ class Engine:
             # not pipelinable (a slot within 2 tokens of a limit, or
             # mixed top_k): make serial progress, then re-enter the
             # pipeline with a host-side frontier
+            self._resolve_first_tokens()
+            if not any(s is not None for s in self._slots):
+                return True
             self.step()
             self._last_dev = None
             self._host_token_slots.clear()

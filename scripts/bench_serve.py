@@ -80,6 +80,8 @@ def section_e2e(mk_engine, n_req, plen, new):
     print(f"e2e overlap: {tps_overlap:7.1f} tok/s ({dt_o:.1f}s)  "
           f"[+{(tps_overlap/tps_serial-1)*100:.0f}%]  "
           f"token mismatches: {mismatch}/{n_req}", flush=True)
+    print(f"pump phases (ms/chunk): "
+          f"{eng.stats().get('pump_phase_ms_per_chunk')}", flush=True)
 
     # in-dispatch throughput of the warm chunk program (the device-side
     # ceiling the host loop is trying to capture)
