@@ -270,7 +270,8 @@ class Engine:
                  paged: bool = False, hot: int = 32, page: int = 64,
                  draft=None, spec_k: int = 4, shared_prefix=None,
                  mesh=None, unroll=None, seed: int = 0,
-                 admit_limit: Optional[int] = None):
+                 admit_limit: Optional[int] = None,
+                 pipeline_depth: int = 2):
         """paged=True uses the two-level paged KV cache (models/paged.py):
         per-step cost scales with used context instead of max_seq — the
         right mode when max_seq is provisioned larger than typical requests
@@ -334,7 +335,16 @@ class Engine:
         # host-authoritative cursors must be re-pushed to the device at
         # the next overlapped dispatch (retire / serial step / prefix
         # admission de-synced the device copies).
-        self._pending: Optional[Dict[str, Any]] = None
+        # deque of dispatched-but-uncommitted chunks, oldest first; up
+        # to `pipeline_depth` stay in flight so the oldest's host read is
+        # ready by commit time (depth 1 = classic double buffering;
+        # depth 2 measured the last of the commit-read wait away)
+        self._pending_q: List[Dict[str, Any]] = []
+        # chunks kept in flight before the oldest commits: 2 removes the
+        # commit-read wait entirely (the read lands ~a full chunk after
+        # its chunk finished); raise for throughput, lower to 1 to cut
+        # token-visibility latency by one chunk (~125 ms at b8/T=16)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._last_dev: Optional[jax.Array] = None
         self._host_token_slots: set = set()
         self._cursors_dirty = True
@@ -1020,6 +1030,7 @@ class Engine:
         all active slots, retire finished requests."""
         if self.spec:
             return self._step_spec()
+        self._drain_pipeline()
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
@@ -1161,6 +1172,7 @@ class Engine:
         mid-chunk. Returns the number of tokens decoded per slot."""
         if self.spec:           # chunk whole draft+verify iterations
             return self._step_spec_chunk(max_chunk)
+        self._drain_pipeline()
         self._admit()
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
@@ -1261,6 +1273,16 @@ class Engine:
     # speculative rollback). Commits are uid-guarded so a slot re-admitted
     # between dispatch and commit never receives the old request's tokens.
 
+    def _drain_pipeline(self) -> None:
+        """Commit any chunks the overlapped pump loop left in flight and
+        materialize pending first tokens — the serial step paths assume
+        host-complete state (callers may mix pump() and step())."""
+        while self._pending_q:
+            self._commit_chunk(self._pending_q.pop(0))
+        self._resolve_first_tokens()
+        self._last_dev = None
+        self._host_token_slots.clear()
+
     def _retire_slot(self, i: int) -> None:
         self._mark_done(self._slots[i])
         self._slots[i] = None
@@ -1315,13 +1337,12 @@ class Engine:
         ks = {self._slots[i].top_k for i in active}
         if len(ks) > 1:
             return None
-        pend = self._pending
         inflight = {}
-        if pend is not None:
+        for pend in self._pending_q:
             for i, uid in zip(pend["slots"], pend["uids"]):
                 r = self._slots[i]
                 if r is not None and r.uid == uid:
-                    inflight[i] = pend["T"]
+                    inflight[i] = inflight.get(i, 0) + pend["T"]
         remaining = self.max_seq
         for i in active:
             req = self._slots[i]
@@ -1440,9 +1461,10 @@ class Engine:
     def pump(self, max_chunk: int = 16) -> bool:
         """One overlapped scheduling iteration (see class comment above).
 
-        Admits (subject to admit_limit), dispatches the next chunk, then
-        commits the PREVIOUS one — so the blocking read overlaps the new
-        chunk's execution. Returns False once fully idle. Spec and
+        Admits (subject to admit_limit), dispatches the next chunk, and
+        commits the OLDEST in-flight chunk once `pipeline_depth` are
+        uncommitted — the blocking read then lands after its chunk has
+        long finished on device. Returns False once fully idle. Spec and
         arena engines fall back to one classic step_chunk per pump.
         Incremental drivers (arrival processes, streaming servers) call
         this directly; run(chunked=True) just loops it."""
@@ -1451,26 +1473,27 @@ class Engine:
                 self.step_chunk(max_chunk)
                 return True
             return False
-        # admission blocks on a host read of the prefill logits anyway, so
-        # commit the in-flight chunk first: no overlap is lost, freshly
-        # freed slots become admissible NOW, and the admission prefill
-        # (which donates the cache pytree) never runs while a dispatched
-        # chunk still reads those buffers
-        if (self._queue and self._pending is not None
+        # freshly freed slots should be admissible NOW: when the queue
+        # is non-empty and a slot might free, commit the oldest chunk
+        # before admitting (admission itself no longer blocks — first
+        # tokens are device-sampled and resolved lazily)
+        if (self._queue and self._pending_q
                 and any(s is None for s in self._slots)):
-            self._commit_chunk(self._pending)
-            self._pending = None
+            self._commit_chunk(self._pending_q.pop(0))
         _t0 = time.perf_counter()
         self._admit(async_first=True)
         self._t_pump["admit"] += time.perf_counter() - _t0
         active = [i for i, r in enumerate(self._slots) if r is not None]
-        if not active and self._pending is None:
+        if not active and not self._pending_q:
             return bool(self._queue)
         nxt = self._try_dispatch(active, max_chunk) if active else None
-        pend, self._pending = self._pending, nxt
-        if pend is not None:
-            self._commit_chunk(pend)
-        if nxt is None and pend is None and active:
+        if nxt is not None:
+            self._pending_q.append(nxt)
+        if self._pending_q and (nxt is None
+                                or len(self._pending_q)
+                                > self.pipeline_depth):
+            self._commit_chunk(self._pending_q.pop(0))
+        if nxt is None and not self._pending_q and active:
             # not pipelinable (a slot within 2 tokens of a limit, or
             # mixed top_k): make serial progress, then re-enter the
             # pipeline with a host-side frontier

@@ -105,7 +105,7 @@ class EngineLoop:
                 # it is committed even if every slot just retired
                 busy = (any(s is not None for s in self.engine._slots)
                         or self.engine._queue
-                        or self.engine._pending is not None)
+                        or bool(self.engine._pending_q))
                 if busy:
                     if self.chunked and self.overlap:
                         # overlapped double-buffered scheduling: the host
