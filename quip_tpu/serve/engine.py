@@ -352,8 +352,20 @@ class Engine:
         # async admission (pump loop): first tokens sampled ON DEVICE at
         # prefill time; values resolved lazily (one batched read at the
         # next commit) so admission never blocks the decode pipeline
-        self._first_pending: List = []     # [(slot, Request, tok_dev)]
-        self._dev_token_rows: Dict[int, Any] = {}
+        self._first_pending: List = []     # [(slot, Request)]
+        # fixed-shape device buffers for async first tokens: one (B,)
+        # value buffer + one (B,) mask, written by a single jitted helper
+        # with a TRACED slot index. Shape-varying eager ops here (a
+        # concatenate per pending-count, .at[i] per static slot) each
+        # compiled a distinct tiny program through the remote compile
+        # helper (~1-3 s apiece) and wrecked arrival-trace TTFT.
+        self._first_buf = jnp.zeros((max_batch,), jnp.int32)
+        self._front_mask = jnp.zeros((max_batch,), jnp.int32)
+        self._zero_mask = self._front_mask
+        self._front_any = False
+        self._admit_tok_j = jax.jit(
+            lambda buf, mask, tok, i: (buf.at[i].set(tok[0]),
+                                       mask.at[i].set(1)))
         # pump-phase wall-clock accumulators (stats(): where the host
         # loop's time goes — dispatch enqueue vs blocking commit read vs
         # bookkeeping); negligible overhead, always on
@@ -949,8 +961,11 @@ class Engine:
                     tok_dev = _sample(sk, logits,
                                       jnp.asarray([req.temperature]),
                                       req.top_k, tp).astype(jnp.int32)
-                    self._first_pending.append((i, req, tok_dev))
-                    self._dev_token_rows[i] = tok_dev
+                    self._first_buf, self._front_mask = self._admit_tok_j(
+                        self._first_buf, self._front_mask, tok_dev,
+                        jnp.asarray(i, jnp.int32))
+                    self._first_pending.append((i, req))
+                    self._front_any = True
                     self._host_token_slots.discard(i)
                     continue
                 tok = int(_sample(sk, logits,
@@ -1287,9 +1302,6 @@ class Engine:
         self._mark_done(self._slots[i])
         self._slots[i] = None
         self._host_token_slots.discard(i)
-        self._dev_token_rows.pop(i, None)   # a stale device first-token
-                                            # must never reach a future
-                                            # occupant's frontier row
         self._cursors_dirty = True
         if self.paged:
             self._base[i] = 0
@@ -1310,20 +1322,20 @@ class Engine:
         if not self._first_pending:
             return
         pend, self._first_pending = self._first_pending, []
-        vals = np.asarray(jnp.concatenate([t for _, _, t in pend]))
+        vals = np.asarray(self._first_buf)        # fixed (B,) — one read
         now = time.time()
-        for (i, req, _), v in zip(pend, vals):
+        for i, req in pend:
             if self._slots[i] is not req:
                 continue                      # already rolled back
-            req.generated.insert(0, int(v))
+            v = int(vals[i])
+            req.generated.insert(0, v)
             req.t_first = now
-            self._dev_token_rows.pop(i, None)
-            if req.stop and int(v) in req.stop:
+            if req.stop and v in req.stop:
                 self._retire_slot(i)
 
     def _pending_first_count(self, i: int) -> int:
         req = self._slots[i]
-        return sum(1 for j, r, _ in self._first_pending
+        return sum(1 for j, r in self._first_pending
                    if j == i and r is req)
 
     def _try_dispatch(self, active: List[int], max_chunk: int):
@@ -1378,20 +1390,31 @@ class Engine:
                 last[i, 0] = self._slots[i].generated[-1]
             last = jnp.asarray(last)
             self._host_token_slots.clear()
-            self._dev_token_rows.clear()
+            self._front_mask = self._zero_mask
+            self._front_any = False
         else:
             last = self._last_dev
+            if self._front_any:
+                # async-admitted first tokens override their rows (fixed
+                # shape: ONE compiled op regardless of how many); applied
+                # before host rows so a stale bit from a retired-at-first-
+                # token slot can never clobber a later sync admission
+                last = jnp.where(self._front_mask[:, None] > 0,
+                                 self._first_buf[:, None], last)
+                self._front_mask = self._zero_mask
+                self._front_any = False
             rows = sorted(self._host_token_slots.intersection(active))
             if rows:
-                vals = np.asarray(
-                    [[self._slots[i].generated[-1]] for i in rows],
-                    np.int32)
-                last = last.at[jnp.asarray(rows)].set(jnp.asarray(vals))
+                # fixed-shape override (a .at[rows].set with a varying
+                # row count compiles one program per count)
+                ov = np.zeros((self.max_batch, 1), np.int32)
+                mk = np.zeros((self.max_batch, 1), np.int32)
+                for i in rows:
+                    ov[i, 0] = self._slots[i].generated[-1]
+                    mk[i, 0] = 1
+                last = jnp.where(jnp.asarray(mk) > 0, jnp.asarray(ov),
+                                 last)
                 self._host_token_slots.difference_update(rows)
-            for i in list(self._dev_token_rows):
-                if i in active:
-                    last = last.at[i, 0].set(self._dev_token_rows[i][0])
-                    del self._dev_token_rows[i]
 
         temps = np.zeros((self.max_batch,), np.float32)
         tops = np.ones((self.max_batch,), np.float32)
