@@ -370,7 +370,7 @@ class Engine:
         # loop's time goes — dispatch enqueue vs blocking commit read vs
         # bookkeeping); negligible overhead, always on
         self._t_pump = dict(dispatch=0.0, commit_read=0.0, bookkeep=0.0,
-                            admit=0.0, chunks=0)
+                            admit=0.0, resolve=0.0, steps=0, chunks=0)
         # observability aggregates (Engine.stats)
         self.accept_hist: List[int] = []   # spec: emitted tokens per step
         self._done_reqs = 0
@@ -783,9 +783,11 @@ class Engine:
             out["mean_ttft_s"] = self._ttft_sum / self._done_reqs
             out["mean_request_s"] = self._req_time_sum / self._done_reqs
         if self._t_pump["chunks"]:
+            n = self._t_pump["chunks"]
             out["pump_phase_ms_per_chunk"] = {
-                k: round(v * 1e3 / self._t_pump["chunks"], 2)
+                k: (round(v * 1e3 / n, 2) if k != "steps" else v)
                 for k, v in self._t_pump.items() if k != "chunks"}
+            out["pump_chunks"] = n
         if self.spec and self.accept_hist:
             h = np.bincount(np.asarray(self.accept_hist),
                             minlength=self.spec_k + 1)
@@ -1322,7 +1324,9 @@ class Engine:
         if not self._first_pending:
             return
         pend, self._first_pending = self._first_pending, []
+        _t0 = time.perf_counter()
         vals = np.asarray(self._first_buf)        # fixed (B,) — one read
+        self._t_pump["resolve"] += time.perf_counter() - _t0
         now = time.time()
         for i, req in pend:
             if self._slots[i] is not req:
@@ -1523,6 +1527,7 @@ class Engine:
             self._resolve_first_tokens()
             if not any(s is not None for s in self._slots):
                 return True
+            self._t_pump["steps"] += 1
             self.step()
             self._last_dev = None
             self._host_token_slots.clear()

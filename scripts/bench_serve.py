@@ -166,6 +166,11 @@ def section_arrival(mk_engine, rates, n_req, plen, new):
                   f"p95 {np.percentile(ttft, 95)*1e3:6.0f} ms  "
                   f"{toks/wall:7.1f} tok/s  ({len(reqs)}/{n_req} done, "
                   f"{wall:.1f}s)", flush=True)
+            st = eng.stats()
+            print(f"   phases: {st.get('pump_phase_ms_per_chunk')} "
+                  f"chunks={st.get('pump_chunks')}", flush=True)
+            eng._t_pump = {k: (0 if isinstance(v, int) else 0.0)
+                           for k, v in eng._t_pump.items()}
         del eng
 
 
