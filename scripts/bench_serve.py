@@ -122,11 +122,15 @@ def section_e2e(mk_engine, n_req, plen, new):
     return eng32
 
 
-def drive_arrivals(eng, trace):
+def drive_arrivals(eng, trace, debug=False):
     """Pump the engine while injecting submissions at their trace times.
     trace: list of (t_offset_s, request_dict). Returns (handles, wall)."""
     handles = {}
     i = 0
+    # timers must start clean: warmup/warm-batch compiles otherwise
+    # pollute the phase attribution of the timed trace
+    eng._t_pump = {k: (0 if isinstance(v, int) else 0.0)
+                   for k, v in eng._t_pump.items()}
     t0 = time.time()
     while True:
         now = time.time() - t0
@@ -134,7 +138,14 @@ def drive_arrivals(eng, trace):
             uid = eng.submit(**trace[i][1])
             handles[uid] = eng._queue[-1]      # keep past retirement
             i += 1
+        _tp = time.time()
         worked = eng.pump()
+        if debug and time.time() - _tp > 0.02:
+            active = sum(s is not None for s in eng._slots)
+            print(f"   pump@{now:6.2f}s {1e3*(time.time()-_tp):6.0f} ms "
+                  f"active={active} q={len(eng._queue)} "
+                  f"infl={len(eng._pending_q)} "
+                  f"pend1st={len(eng._first_pending)}", flush=True)
         if not worked:
             if i < len(trace):
                 time.sleep(max(0.0, min(0.02, trace[i][0] - now)))
@@ -156,7 +167,9 @@ def section_arrival(mk_engine, rates, n_req, plen, new):
             times = np.cumsum(gaps)
             trace = [(float(t), r) for t, r in
                      zip(times, _requests(n_req, plen, new, seed=1))]
-            handles, wall = drive_arrivals(eng, trace)
+            import os
+            handles, wall = drive_arrivals(
+                eng, trace, debug=bool(os.environ.get("QUIP_ARRIVAL_DEBUG")))
             reqs = list(handles.values())
             ttft = np.asarray([r.t_first - r.t_submit for r in reqs
                                if r.t_first])
