@@ -1074,20 +1074,24 @@ class Engine:
         for i in active:
             temps[i] = self._slots[i].temperature
             tops[i] = self._slots[i].top_p
-        # per-slot top_k: sample per distinct k (slot counts are small);
-        # top_p is a traced per-slot array, no regrouping needed
+        # per-slot top_k: sample per distinct k over the FULL (B, V)
+        # logits and pick each group's rows on the host. Slicing
+        # logits[rows] with a per-call row count compiled a fresh eager
+        # chain for every distinct active-slot count through the remote
+        # compile helper (~6 s each — the recurring arrival-trace stall,
+        # docs/PERF.md round 4); full-B sampling is one fixed-shape
+        # program per distinct top_k.
         ks = sorted({self._slots[i].top_k for i in active})
         toks = np.zeros((self.max_batch,), np.int64)
+        top_p_any = any(tops[i] < 1.0 for i in active)
         for kval in ks:
             rows = [i for i in active if self._slots[i].top_k == kval]
-            tp = (jnp.asarray(tops[np.asarray(rows)])
-                  if any(tops[r] < 1.0 for r in rows) else None)
-            sub = _sample(jax.random.fold_in(sk, kval),
-                          logits[np.asarray(rows)],
-                          jnp.asarray(temps[np.asarray(rows)]),
-                          top_k=kval, top_p=tp)
-            for r, t in zip(rows, np.asarray(sub)):
-                toks[r] = t
+            tp = jnp.asarray(tops) if top_p_any else None
+            sub = np.asarray(_sample(jax.random.fold_in(sk, kval),
+                                     logits, jnp.asarray(temps),
+                                     top_k=kval, top_p=tp))
+            for r in rows:
+                toks[r] = sub[r]
         newlen = self._lengths()             # mutable host copy
         for i in active:
             req = self._slots[i]
