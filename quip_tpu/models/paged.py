@@ -251,30 +251,47 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
     hlen = (pos[:, 0] - pre0 - caches.base).astype(jnp.int32)  # == hot_len
     zero = jnp.zeros((), jnp.int32)
 
-    # One-hot select write, NOT vmap(dynamic_update_slice): per-slot start
-    # indices lower the vmapped slice-update to a TPU scatter that costs
-    # ~0.17 ms/slot/step — 5.5 ms of the 16.4 ms b32 decode step, the
-    # dominant batched-serving cost (scripts/bench_batch.py, docs/PERF.md
-    # round 4: 1947 -> 2923 tok/s b32, +3%/+17% at b1/b8). The einsum
-    # gathers window row j-hlen[b] for ring row j (exact: each output sums
-    # ONE value; f32 accumulate is exact for bf16/int8 payloads), and the
-    # where keeps rows outside [hlen, hlen+S). Divergent per-slot hlen is
-    # fine (unlike a shared-index slice), so spec rollback and mid-ring
-    # admission keep working.
-    ridx = jnp.arange(P, dtype=jnp.int32)[None, :]            # (1, P)
-    win = ridx - hlen[:, None]                                # (B, P)
-    inwin = (win >= 0) & (win < S)
-    onehot = (jax.nn.one_hot(jnp.clip(win, 0, S - 1), S, dtype=jnp.float32)
-              * inwin[..., None].astype(jnp.float32))         # (B, P, S)
-    sel4 = inwin[:, :, None, None]
+    # Batch-adaptive ring write (B is static at trace time):
+    #   B > 1: one-hot select, NOT vmap(dynamic_update_slice) — per-slot
+    #     start indices lower the vmapped slice-update to a TPU scatter
+    #     costing ~0.17 ms/slot/step (5.5 of 16.4 ms at b32; the fix
+    #     measured 1947 -> 2967 tok/s b32, +17% b8 — docs/PERF.md r4).
+    #     The einsum gathers window row j-hlen[b] for ring row j (exact:
+    #     each output sums ONE value; f32 accumulate is exact for
+    #     bf16/int8 payloads); divergent per-slot hlen is fine, so spec
+    #     rollback and mid-ring admission keep working.
+    #   B == 1: a single dynamic_update_slice — there is no batched start
+    #     index, hence no scatter, and the one-hot's extra VPU pass
+    #     measured -6% on the (longer) 4-bit b1 step (A/B/A'd; 2-bit b1
+    #     neutral).
+    if B == 1:
+        zero0 = jnp.zeros((), jnp.int32)
 
-    def hot_write(ring, new):                   # (B,P,KV,hd) <- (B,S,KV,hd)
-        g = jnp.einsum("bps,bskd->bpkd", onehot, new.astype(jnp.float32))
-        return jnp.where(sel4, g.astype(ring.dtype), ring)
+        def hot_write(ring, new):               # (1,P,KV,hd) <- (1,S,KV,hd)
+            return lax.dynamic_update_slice(
+                ring, new.astype(ring.dtype), (zero0, hlen[0], zero0, zero0))
 
-    def hot_write_s(ring, new):                 # (B,P,KV) <- (B,S,KV)
-        g = jnp.einsum("bps,bsk->bpk", onehot, new.astype(jnp.float32))
-        return jnp.where(inwin[:, :, None], g.astype(ring.dtype), ring)
+        def hot_write_s(ring, new):             # (1,P,KV) <- (1,S,KV)
+            return lax.dynamic_update_slice(
+                ring, new.astype(ring.dtype), (zero0, hlen[0], zero0))
+    else:
+        ridx = jnp.arange(P, dtype=jnp.int32)[None, :]        # (1, P)
+        win = ridx - hlen[:, None]                            # (B, P)
+        inwin = (win >= 0) & (win < S)
+        onehot = (jax.nn.one_hot(jnp.clip(win, 0, S - 1), S,
+                                 dtype=jnp.float32)
+                  * inwin[..., None].astype(jnp.float32))     # (B, P, S)
+        sel4 = inwin[:, :, None, None]
+
+        def hot_write(ring, new):               # (B,P,KV,hd) <- (B,S,KV,hd)
+            g = jnp.einsum("bps,bskd->bpkd", onehot,
+                           new.astype(jnp.float32))
+            return jnp.where(sel4, g.astype(ring.dtype), ring)
+
+        def hot_write_s(ring, new):             # (B,P,KV) <- (B,S,KV)
+            g = jnp.einsum("bps,bsk->bpk", onehot,
+                           new.astype(jnp.float32))
+            return jnp.where(inwin[:, :, None], g.astype(ring.dtype), ring)
 
     ks_new = vs_new = None
     if hks_l is not None:

@@ -155,24 +155,40 @@ def _attn_steps(p, x, cfg, positions, mask, arena_l, lengths,
         q = M.apply_rope(q, cos, sin)
         k = M.apply_rope(k, cos, sin)
 
-    # one-hot select write (models/paged.py hot_write): a vmapped
+    # batch-adaptive write (models/paged.py hot_write): a vmapped
     # dynamic_update_slice with per-slot starts lowers to a TPU scatter
-    # costing ~0.17 ms/slot/step (docs/PERF.md round 4)
+    # costing ~0.17 ms/slot/step; at B == 1 a plain slice update is both
+    # scatter-free and cheaper than the one-hot select (docs/PERF.md r4)
     Lmax = k_arena.shape[1]
-    ridx = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-    win = ridx - lengths[:, None].astype(jnp.int32)
-    inwin = (win >= 0) & (win < S)
-    onehot = (jax.nn.one_hot(jnp.clip(win, 0, S - 1), S, dtype=jnp.float32)
-              * inwin[..., None].astype(jnp.float32))
+    if B == 1:
+        zero0 = jnp.zeros((), jnp.int32)
+        at0 = lengths[0].astype(jnp.int32)
 
-    def arena_write(arena, new):
-        g = jnp.einsum("bls,bskd->blkd", onehot, new.astype(jnp.float32))
-        return jnp.where(inwin[:, :, None, None],
-                         g.astype(arena.dtype), arena)
+        def arena_write(arena, new):
+            return lax.dynamic_update_slice(
+                arena, new.astype(arena.dtype), (zero0, at0, zero0, zero0))
 
-    def arena_write_s(arena, new):
-        g = jnp.einsum("bls,bsk->blk", onehot, new.astype(jnp.float32))
-        return jnp.where(inwin[:, :, None], g.astype(arena.dtype), arena)
+        def arena_write_s(arena, new):
+            return lax.dynamic_update_slice(
+                arena, new.astype(arena.dtype), (zero0, at0, zero0))
+    else:
+        ridx = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+        win = ridx - lengths[:, None].astype(jnp.int32)
+        inwin = (win >= 0) & (win < S)
+        onehot = (jax.nn.one_hot(jnp.clip(win, 0, S - 1), S,
+                                 dtype=jnp.float32)
+                  * inwin[..., None].astype(jnp.float32))
+
+        def arena_write(arena, new):
+            g = jnp.einsum("bls,bskd->blkd", onehot,
+                           new.astype(jnp.float32))
+            return jnp.where(inwin[:, :, None, None],
+                             g.astype(arena.dtype), arena)
+
+        def arena_write_s(arena, new):
+            g = jnp.einsum("bls,bsk->blk", onehot, new.astype(jnp.float32))
+            return jnp.where(inwin[:, :, None], g.astype(arena.dtype),
+                             arena)
 
     ks_new = vs_new = None
     if ks_arena is not None:
