@@ -56,8 +56,11 @@ def main(argv=None):
                         "dp; combine with --tp for a dp x tp mesh)")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantize the KV cache (halves cache HBM "
-                        "traffic; ~15%% faster decode at 2048 ctx; required "
-                        "to fit large max_batch x max_seq engines)")
+                        "traffic: +14-17%% at batch 32, +9-12%% at 2k-8k "
+                        "ctx, and 13B batch-32 serving gains +36%% because "
+                        "the faster unrolled step then fits the HBM "
+                        "budget — docs/PERF.md round 4; recommended for "
+                        "batched and long-context serving)")
     p.add_argument("--no_paged", action="store_true",
                    help="use the flat arena KV cache instead of the paged "
                         "two-level cache (paged measured 1.8-6.8x served "
