@@ -197,6 +197,14 @@ def _bench_width(cfg, bits, steps, extra_batches=()):
                                         max_seq=256), 1)
         print(f"# {bits}-bit b{b}: {batched[b]} tok/s", file=sys.stderr,
               flush=True)
+        # int8 KV at batch: batched decode is cache-bandwidth-bound, so
+        # halving cache bytes is the serving configuration of record
+        # (+14-17% at b32 — docs/PERF.md round 4)
+        batched[f"{b}_int8kv"] = round(
+            bench_decode(packed, cfg, steps=steps, batch=b, max_seq=256,
+                         kv_quant=True), 1)
+        print(f"# {bits}-bit b{b} int8-KV: {batched[f'{b}_int8kv']} tok/s",
+              file=sys.stderr, flush=True)
     del packed
     gc.collect()
     return (tps, batched) if extra_batches else tps
