@@ -283,14 +283,25 @@ def _paged_attention(p, h, cfg: ModelConfig, layer: jax.Array,
                   * inwin[..., None].astype(jnp.float32))     # (B, P, S)
         sel4 = inwin[:, :, None, None]
 
+        # Exactness of the one-hot gather: each output sums ONE product
+        # 1.0*x, so it is exact whenever the bf16 MXU pass round-trips
+        # the operands — true for bf16 payloads and int8 codes (integers
+        # <= 127). f32 payloads/scales would get bf16-rounded by the
+        # default-precision pass (TPU f32 dots run bf16 — CLAUDE.md), so
+        # f32 targets pin HIGHEST; the scale planes (always f32) ride the
+        # same rule. Cost: the scale einsums are (B,P,S)x(B,S,KV) — tiny
+        # next to the payload write (ADVICE r4 #1).
         def hot_write(ring, new):               # (B,P,KV,hd) <- (B,S,KV,hd)
+            prec = (lax.Precision.HIGHEST
+                    if ring.dtype == jnp.float32 else None)
             g = jnp.einsum("bps,bskd->bpkd", onehot,
-                           new.astype(jnp.float32))
+                           new.astype(jnp.float32), precision=prec)
             return jnp.where(sel4, g.astype(ring.dtype), ring)
 
         def hot_write_s(ring, new):             # (B,P,KV) <- (B,S,KV)
             g = jnp.einsum("bps,bsk->bpk", onehot,
-                           new.astype(jnp.float32))
+                           new.astype(jnp.float32),
+                           precision=lax.Precision.HIGHEST)
             return jnp.where(inwin[:, :, None], g.astype(ring.dtype), ring)
 
     ks_new = vs_new = None

@@ -339,7 +339,8 @@ def spec_decode_chunk(draft_params, target_params, tokens: jax.Array,
                       S: int, *, page: int = 64, key=None, temps=None,
                       top_ks=None, top_ps=None,
                       d_prefix: Optional[PG.Prefix] = None,
-                      t_prefix: Optional[PG.Prefix] = None, prefix_on=None):
+                      t_prefix: Optional[PG.Prefix] = None, prefix_on=None,
+                      active: Optional[jax.Array] = None):
     """S speculative iterations in ONE dispatch (jittable; K, S static).
 
     Emits up to S*K tokens per slot per dispatch while paying the host
@@ -352,14 +353,27 @@ def spec_decode_chunk(draft_params, target_params, tokens: jax.Array,
     rejection-sampling step with per-slot temps/top_ks/top_ps (greedy
     slots still exact via one-hot distributions).
 
-    Returns (emitted (B, S, K), n_emit (B, S), draft Hot, target Hot);
-    per iteration s, row positions >= n_emit[:, s] are padding.
+    active (B,) 0/1 (or None = all active): slots with active == 0 get
+    n_emit forced to 0, so their device hot-ring cursors do NOT advance
+    and their frontier row is passed through unchanged. The overlapped
+    spec pump (engine._pump_spec) keeps retired slots' device cursors
+    frozen this way — device cursors are authoritative there, and
+    unbounded garbage advance on free slots would inflate max(base) (the
+    page-loop trip count) across flushes.
+
+    Returns (emitted (B, S, K), n_emit (B, S), draft Hot, target Hot,
+    last (B, 1) device-resident next-token frontier, key_out); per
+    iteration s, row positions >= n_emit[:, s] are padding. ``last`` and
+    ``key_out`` let a pipelined caller dispatch chunk N+1 entirely
+    on-device (no host read of chunk N): key_out chains the PRNG (split
+    once per chunk when sampling; passed through when greedy).
     """
     B = tokens.shape[0]
     d_hot0 = PG.Hot(dcaches.hot_k, dcaches.hot_v, dcaches.hot_len,
                     dcaches.hot_ks, dcaches.hot_vs)
     t_hot0 = PG.Hot(tcaches.hot_k, tcaches.hot_v, tcaches.hot_len,
                     tcaches.hot_ks, tcaches.hot_vs)
+    act = None if active is None else active.astype(jnp.int32)
 
     def body(carry, sk):
         tok, d_hot, t_hot = carry
@@ -375,11 +389,21 @@ def spec_decode_chunk(draft_params, target_params, tokens: jax.Array,
                 draft_params, target_params, tok, dc, tc, cfg_d, cfg_t, K,
                 sk, temps, top_ks, top_ps, page=page, d_prefix=d_prefix,
                 t_prefix=t_prefix, prefix_on=prefix_on)
-        tok = jnp.take_along_axis(em, (ne - 1)[:, None], axis=1)
-        return (tok, d_hot, t_hot), (em, ne)
+        if act is not None:
+            ne = ne * act        # frozen cursors + frontier for free slots
+            d_hot = d_hot._replace(length=dc.hot_len + ne)
+            t_hot = t_hot._replace(length=tc.hot_len + ne)
+        nxt = jnp.take_along_axis(em, jnp.maximum(ne - 1, 0)[:, None],
+                                  axis=1)
+        if act is not None:
+            nxt = jnp.where(act[:, None] > 0, nxt, tok)
+        return (nxt, d_hot, t_hot), (em, ne)
 
-    xs = (jax.random.split(key, S) if temps is not None
-          else jnp.zeros((S,), jnp.int32))
-    (_, d_hot, t_hot), (ems, nes) = lax.scan(body, (tokens, d_hot0, t_hot0),
-                                             xs)
-    return (jnp.transpose(ems, (1, 0, 2)), nes.T, d_hot, t_hot)
+    if temps is not None:
+        key, sub = jax.random.split(key)
+        xs = jax.random.split(sub, S)
+    else:
+        xs = jnp.zeros((S,), jnp.int32)
+    (last, d_hot, t_hot), (ems, nes) = lax.scan(
+        body, (tokens, d_hot0, t_hot0), xs)
+    return (jnp.transpose(ems, (1, 0, 2)), nes.T, d_hot, t_hot, last, key)

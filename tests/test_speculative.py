@@ -233,8 +233,9 @@ def test_spec_decode_chunk_equals_sequential_steps():
     lg, tc = PG.paged_prefill(target, prompt, plen, tc, cfg)
     tok = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
 
-    ems, nes, dh, th = spec_decode_chunk(draft, target, tok, dc, tc, cfg,
-                                         cfg, K, S, page=8)
+    ems, nes, dh, th, last, _ = spec_decode_chunk(draft, target, tok, dc,
+                                                  tc, cfg, cfg, K, S,
+                                                  page=8)
     chunk_stream = []
     for s in range(S):
         n = int(nes[0, s])
@@ -254,6 +255,8 @@ def test_spec_decode_chunk_equals_sequential_steps():
     assert chunk_stream == seq_stream, (chunk_stream, seq_stream)
     assert int(dh.length[0]) == int(dcs.hot_len[0])
     assert int(th.length[0]) == int(tcs.hot_len[0])
+    # the device-resident frontier equals the last emitted token
+    assert int(last[0, 0]) == chunk_stream[-1]
 
 
 def test_engine_spec_chunked_greedy_parity():
