@@ -122,6 +122,21 @@ def section_e2e(mk_engine, n_req, plen, new):
     return eng32
 
 
+def section_depth(mk_engine, n_req, plen, new):
+    """pipeline_depth sweep on the warm b8 drain workload (VERDICT r4
+    weak #3: with the commit+resolve reads coalesced, is the residual
+    capture gap recoverable by a deeper pipeline?)."""
+    for depth in (1, 2, 3, 4):
+        eng = mk_engine(pipeline_depth=depth)
+        reqs = _requests(n_req, plen, new)
+        _run_timed(eng, reqs, overlap=True)        # warm
+        tps, dt, _ = _run_timed(eng, reqs, overlap=True)
+        ph = eng.stats().get("pump_phase_ms_per_chunk")
+        print(f"depth={depth}: {tps:7.1f} tok/s ({dt:.1f}s)  {ph}",
+              flush=True)
+        del eng
+
+
 def drive_arrivals(eng, trace, debug=False):
     """Pump the engine while injecting submissions at their trace times.
     trace: list of (t_offset_s, request_dict). Returns (handles, wall)."""
@@ -251,6 +266,7 @@ def main():
     rates = [float(r) for r in ARGS.rates.split(",")]
     for name, fn in [
         ("e2e", lambda: section_e2e(mk_engine, n_req, plen, new)),
+        ("depth", lambda: section_depth(mk_engine, n_req, plen, new)),
         ("arrival", lambda: section_arrival(mk_engine, rates, n_req if
                                             not ARGS.smoke else 6, plen,
                                             new)),

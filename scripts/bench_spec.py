@@ -1,18 +1,26 @@
 """Chip measurement: speculative serving paths (greedy/stochastic, chunked).
 
-Run ALONE on the TPU (CLAUDE.md: never share the relayed chip). Measures:
-  1. E2E Engine serving throughput with chunked speculative decoding
-     (perfect draft = upper bound; 4-layer self-draft = realistic shape),
-     vs the plain paged+chunked engine on the same requests.
-  2. Stochastic vs greedy spec step cost (the price of materializing the
-     K draft + K target distributions at V=32000 and the nucleus sorts).
+Run ALONE on the TPU (CLAUDE.md: never share the relayed chip). Round-5
+scope (VERDICT r4 item 1): bring spec up to the round-4 serving standard —
+  1. E2E serial (overlap=False) vs OVERLAPPED PUMP (overlap=True) A/B for
+     the spec engine, b1 and b8, self-draft (chance acceptance = overhead
+     floor) and perfect draft (upper bound); plain engine for reference.
+  2. Spec step costs RE-MEASURED post-scatter-fix (the r2 numbers — 6.96
+     ms/step K=4 b1, break-even 1.95 — predate the one-hot write, which
+     covers the spec verify append window at B>1): greedy + stochastic,
+     b1 AND b8.
 
 Methodology: E2E numbers are tokens-served / wall-clock including host
-reads (same as docs/PERF.md "E2E serving"). Step costs are chained
-dependent dispatches with one trailing host sync.
+reads on a WARMED engine (docs/PERF.md "E2E serving"). Step costs are
+chained dependent dispatches with one trailing host sync, slope of two
+chain lengths, median of 3.
+
+Sections via --sections e2e,steps (default both).
 """
+import argparse
 import sys
 import time
+import traceback
 from dataclasses import replace
 
 import numpy as np
@@ -26,83 +34,127 @@ from quip_tpu.serve.engine import Engine           # noqa: E402
 from quip_tpu.serve.speculative import make_self_draft  # noqa: E402
 from quip_tpu.utils import enable_compile_cache    # noqa: E402
 
+_ap = argparse.ArgumentParser("bench_spec")
+_ap.add_argument("--sections", default="e2e,steps")
+_ap.add_argument("--smoke", action="store_true")
+ARGS = _ap.parse_args()
 
-def e2e(eng, n_req=24, plen=64, new=64, **submit_kw):
+if ARGS.smoke:
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+
+
+def e2e(eng, n_req=24, plen=64, new=64, overlap=True, **submit_kw):
     rng = np.random.default_rng(0)
     reqs = [dict(prompt=rng.integers(1, 1000, plen).tolist(),
                  max_new_tokens=new, **submit_kw) for _ in range(n_req)]
     t0 = time.time()
-    done = eng.run(reqs, chunked=True)
+    done = eng.run(reqs, chunked=True, overlap=overlap)
     dt = time.time() - t0
     toks = sum(len(r.generated) for r in done)
     return toks / dt, dt
 
 
-def main():
-    enable_compile_cache()
-    assert jax.default_backend() == "tpu", jax.default_backend()
-    cfg = replace(get_config("llama-2-7b"), dtype="bfloat16")
-    print("# building packed 7B...", file=sys.stderr)
-    t0 = time.time()
-    packed = _packed_llama(cfg, bits=2, seed=0, head_bits=2)
-    print(f"# built in {time.time()-t0:.0f}s", file=sys.stderr)
+def ab_engine(tag, mk_engine, n_req, plen=None, new=None):
+    plen = plen if plen is not None else (64 if not ARGS.smoke else 8)
+    new = new if new is not None else (64 if not ARGS.smoke else 12)
+    """Warm once, then serial/pump/serial on the SAME engine (A/B/A-ish:
+    the pump leg sits between two serial legs of a fresh engine each —
+    cache state is per-engine, so fresh engines per leg, warmed)."""
+    rows = {}
+    for mode, overlap in (("serial", False), ("pump", True)):
+        try:
+            eng = mk_engine()
+            e2e(eng, n_req=min(8, n_req), plen=plen, new=new,
+                overlap=overlap)                        # warm compiles
+            t0 = time.time()
+            tps, dt = e2e(eng, n_req=n_req, plen=plen, new=new,
+                          overlap=overlap)
+            rows[mode] = tps
+            st = eng.stats()
+            extra = ""
+            if "spec_emitted_mean" in st:
+                extra = f"  acc/step {st['spec_emitted_mean']:.2f}"
+            if "pump_phase_ms_per_chunk" in st and overlap:
+                ph = st["pump_phase_ms_per_chunk"]
+                extra += (f"  [dispatch {ph['dispatch']} commit "
+                          f"{ph['commit_read']} bookkeep {ph['bookkeep']}"
+                          f" admit {ph['admit']} ms/chunk,"
+                          f" {st.get('pump_chunks', 0)} chunks,"
+                          f" {ph.get('steps', 0)} serial-steps]")
+            print(f"{tag} {mode:6s}: {tps:7.1f} tok/s ({dt:5.1f}s)"
+                  f"{extra}", flush=True)
+        except Exception:
+            traceback.print_exc()
+            print(f"{tag} {mode} FAILED (continuing)", flush=True)
+    if "serial" in rows and "pump" in rows and rows["serial"] > 0:
+        print(f"{tag} pump/serial: {rows['pump']/rows['serial']:.3f}x",
+              flush=True)
 
+
+def section_e2e(packed, cfg):
     B, max_seq, hot, page = 8, 192, 32, 64
-    common = dict(max_batch=B, max_seq=max_seq, cache_dtype=jnp.bfloat16,
+    common = dict(max_seq=max_seq, cache_dtype=jnp.bfloat16,
                   paged=True, hot=hot, page=page)
-    only_steps = "--only-steps" in sys.argv
-    if only_steps:
-        dparams, dcfg = make_self_draft(packed, cfg, 4)
-        return step_costs(packed, cfg, dparams, dcfg, hot, page)
+    if ARGS.smoke:
+        common.update(max_seq=64, hot=16, page=8)
+    n_req = 24 if not ARGS.smoke else 4
+    dparams, dcfg = make_self_draft(packed, cfg, 4 if not ARGS.smoke
+                                    else 1)
 
-    # -- 1) plain paged+chunked baseline (same request mix) ------------------
-    eng = Engine(packed, cfg, **common)
-    e2e(eng, n_req=8)                                  # warm compiles
-    tps, dt = e2e(eng)
-    print(f"plain paged+chunked: {tps:.1f} tok/s ({dt:.1f}s)")
-
-    # -- 2) perfect-draft chunked spec (upper bound) --------------------------
-    for K in (4, 8):
-        eng = Engine(packed, cfg, draft=(packed, cfg), spec_k=K, **common)
-        e2e(eng, n_req=8)
-        tps, dt = e2e(eng)
-        print(f"spec chunked perfect-draft K={K}: {tps:.1f} tok/s ({dt:.1f}s)")
-
-    # -- 3) self-draft (4 of 32 layers) — realistic draft shape --------------
-    dparams, dcfg = make_self_draft(packed, cfg, 4)
-    eng = Engine(packed, cfg, draft=(dparams, dcfg), spec_k=4, **common)
-    e2e(eng, n_req=8)
-    tps, dt = e2e(eng)
-    # acceptance on random weights is ~chance; this measures overhead floor
-    print(f"spec chunked self-draft(4) K=4: {tps:.1f} tok/s ({dt:.1f}s) "
-          f"[random-weight acceptance]")
-
-    step_costs(packed, cfg, dparams, dcfg, hot, page)
+    # plain engine reference (the capture context for the spec numbers)
+    ab_engine("plain b8         ", lambda: Engine(
+        packed, cfg, max_batch=B, **common), n_req)
+    # self-draft: chance acceptance = the overhead floor
+    ab_engine("spec self4 K4 b8 ", lambda: Engine(
+        packed, cfg, max_batch=B, draft=(dparams, dcfg), spec_k=4,
+        **common), n_req)
+    ab_engine("spec self4 K4 b1 ", lambda: Engine(
+        packed, cfg, max_batch=1, draft=(dparams, dcfg), spec_k=4,
+        **common), 6 if not ARGS.smoke else 2)
+    # perfect draft: the acceptance upper bound (draft == target)
+    ab_engine("spec perfect K4 b8", lambda: Engine(
+        packed, cfg, max_batch=B, draft=(packed, cfg), spec_k=4,
+        **common), n_req)
+    ab_engine("spec perfect K8 b1", lambda: Engine(
+        packed, cfg, max_batch=1, draft=(packed, cfg), spec_k=8,
+        **common), 6 if not ARGS.smoke else 2)
 
 
-def step_costs(packed, cfg, dparams, dcfg, hot, page):
-    """Stochastic vs greedy spec step cost (b1)."""
+def section_steps(packed, cfg):
+    dn = 4 if not ARGS.smoke else 1
+    dparams, dcfg = make_self_draft(packed, cfg, dn)
+    for B in (1, 8):
+        step_costs(packed, cfg, dparams, dcfg, 32 if not ARGS.smoke
+                   else 16, 64 if not ARGS.smoke else 8, B=B)
+
+
+def step_costs(packed, cfg, dparams, dcfg, hot, page, B=1):
+    """Stochastic vs greedy spec step cost at batch B (post-scatter-fix:
+    the verify append's hot-ring write is one-hot at B>1)."""
     from quip_tpu.models import paged as PG
     from quip_tpu.serve.speculative import spec_decode_step, spec_sample_step
     K = 4
-    dc = PG.init_paged(1, 192, dcfg, dtype=jnp.bfloat16, hot=hot, page=page)
-    tc = PG.init_paged(1, 192, cfg, dtype=jnp.bfloat16, hot=hot, page=page)
-    prompt = jnp.asarray(np.random.default_rng(1).integers(1, 1000, (1, 16)),
+    cap = 192 if not ARGS.smoke else 64
+    dc = PG.init_paged(B, cap, dcfg, dtype=jnp.bfloat16, hot=hot, page=page)
+    tc = PG.init_paged(B, cap, cfg, dtype=jnp.bfloat16, hot=hot, page=page)
+    prompt = jnp.asarray(np.random.default_rng(1).integers(1, 1000, (B, 16)),
                          jnp.int32)
-    plen = jnp.asarray([16], jnp.int32)
+    plen = jnp.full((B,), 16, jnp.int32)
     _, dc = jax.jit(lambda p, t, pl, c: PG.paged_prefill(p, t, pl, c, dcfg)
                     )(dparams, prompt, plen, dc)
     lg, tc = jax.jit(lambda p, t, pl, c: PG.paged_prefill(p, t, pl, c, cfg)
                      )(packed, prompt, plen, tc)
     tok = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
-    temps = jnp.asarray([0.8], jnp.float32)
-    tps_ = jnp.asarray([0.9], jnp.float32)
+    temps = jnp.full((B,), 0.8, jnp.float32)
+    tps_ = jnp.full((B,), 0.9, jnp.float32)
 
     # params passed as jit ARGS, not captured constants (a 2.2 GB captured
     # tree stalls the remote compile helper for many minutes). Pre-split
     # per-layer trees = what the Engine passes (unrolled step form).
-    dparams = PG.as_split(dparams)
-    packed = PG.as_split(packed)
+    dsplit = PG.as_split(dparams)
+    tsplit = PG.as_split(packed)
     g = jax.jit(lambda dp, tp, tok, dc, tc: spec_decode_step(
         dp, tp, tok, dc, tc, dcfg, cfg, K, page=page)[:2])
     s = jax.jit(lambda dp, tp, tok, dc, tc, key: spec_sample_step(
@@ -114,11 +166,11 @@ def step_costs(packed, cfg, dparams, dcfg, hot, page):
         # step's output (naive independent-call timing reads pipelined
         # throughput through the relay — docs/PERF.md methodology)
         t = tok
-        em, ne = fn(dparams, packed, t, dc, tc, *extra)
+        em, ne = fn(dsplit, tsplit, t, dc, tc, *extra)
         int(ne[0])                                   # warm + sync
         t0 = time.time()
         for _ in range(n):
-            em, ne = fn(dparams, packed, t, dc, tc, *extra)
+            em, ne = fn(dsplit, tsplit, t, dc, tc, *extra)
             t = em[:, :1]
         int(t[0, 0])                                 # end-of-chain sync
         return (time.time() - t0) / n
@@ -132,8 +184,36 @@ def step_costs(packed, cfg, dparams, dcfg, hot, page):
             t2 = chain(fn, 48, *extra)
             slopes.append((48 * t2 - 16 * t1) / 32)
         slope = sorted(slopes)[1]            # median of 3
-        print(f"spec step {name} K={K} (7B target + 4L self-draft): "
-              f"{slope*1e3:.2f} ms/step")
+        print(f"spec step {name} K={K} B={B} (target + {dcfg.n_layers}L "
+              f"self-draft): {slope*1e3:.2f} ms/step", flush=True)
+
+
+def main():
+    enable_compile_cache()
+    if not ARGS.smoke:
+        assert jax.default_backend() == "tpu", jax.default_backend()
+        cfg = replace(get_config("llama-2-7b"), dtype="bfloat16")
+    else:
+        cfg = replace(get_config("llama-tiny"), dtype="bfloat16")
+    print(f"# building packed {'7B' if not ARGS.smoke else 'tiny'}...",
+          flush=True)
+    t0 = time.time()
+    packed = _packed_llama(cfg, bits=2, seed=0, head_bits=2)
+    jax.block_until_ready(jax.tree.leaves(packed)[0])
+    print(f"# built in {time.time()-t0:.0f}s", flush=True)
+
+    sections = ARGS.sections.split(",")
+    for name, fn in (("e2e", lambda: section_e2e(packed, cfg)),
+                     ("steps", lambda: section_steps(packed, cfg))):
+        if name not in sections:
+            continue
+        print(f"\n=== section {name} ===", flush=True)
+        try:
+            fn()
+        except Exception:
+            traceback.print_exc()
+            print(f"=== section {name} FAILED (continuing) ===", flush=True)
+    print("\nDONE", flush=True)
 
 
 if __name__ == "__main__":

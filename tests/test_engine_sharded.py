@@ -216,3 +216,10 @@ def test_engine_sharded_spec(packed_tiny):
     [rp] = plain.run([dict(prompt=[4, 2], max_new_tokens=6)])
     [rs] = spec.run([dict(prompt=[4, 2], max_new_tokens=6)])
     assert rs.generated == rp.generated
+    # the overlapped spec pump must emit the same stream under the mesh
+    # (device-authoritative cursors are sharded arrays here)
+    spec2 = Engine(packed, cfg, max_batch=2, max_seq=64, mesh=mesh,
+                   hot=8, page=8, draft=(packed, cfg), spec_k=2)
+    [ro] = spec2.run([dict(prompt=[4, 2], max_new_tokens=6)],
+                     chunked=True, overlap=True)
+    assert ro.generated == rp.generated

@@ -194,6 +194,19 @@ def test_spec_pump_sampling_budgets(tiny_pair):
     assert outs[1].generated[:12] == want
 
 
+def test_spec_pump_mostly_free_slots(tiny_pair):
+    """One request on a 4-slot engine: the three free slots' device
+    cursors stay frozen (active mask) across flush cycles and never
+    corrupt the active stream."""
+    cfg, params, draft = tiny_pair
+    reqs = [dict(prompt=[2, 4], max_new_tokens=30)]
+    serial = _spec_engine(cfg, params, draft, max_batch=4, hot=8).run(
+        [dict(r) for r in reqs], chunked=True, overlap=False)
+    pump = _spec_engine(cfg, params, draft, max_batch=4, hot=8).run(
+        [dict(r) for r in reqs], chunked=True, overlap=True)
+    assert serial[0].generated == pump[0].generated
+
+
 def test_spec_pump_seq_cap_retirement(tiny_pair):
     cfg, params, draft = tiny_pair
     reqs = [dict(prompt=list(range(1, 20)), max_new_tokens=60)]
