@@ -124,11 +124,10 @@ def load_model(args):
     else:
         seed = args.seed if hasattr(args, "seed") else 0
         if on_host:
-            import numpy as np
-            # random init lands on the host CPU backend, never the TPU
-            with jax.default_device(jax.devices("cpu")[0]):
-                params = M.init_params(jax.random.key(seed), cfg)
-            params = jax.tree.map(np.asarray, params)
+            # streamed per-layer host init: the whole-tree jax init's
+            # f32 temporaries exceed host RAM at 30B+ (model.py
+            # init_params_host docstring)
+            params = M.init_params_host(cfg, seed)
         else:
             params = M.init_params(jax.random.key(seed), cfg)
     return params, cfg

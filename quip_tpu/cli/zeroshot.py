@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--data_dir", type=str, default=None,
                    help="local dataset dir for offline tasks (lambada "
                         "jsonl, storycloze CSVs) — zero-egress operation")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8 KV caches in the generation engine — "
+                        "quality gate for the serving --kv_quant default "
+                        "(docs/ACCEPT.md §2b); loglikelihood tasks are "
+                        "cache-free and unaffected")
     p.add_argument("--synthetic_docs", action="store_true",
                    help="schema-faithful synthetic docs for every task "
                         "(offline pipeline drill; chance accuracies)")
@@ -71,7 +76,8 @@ def main(argv=None):
         print("WARNING: HF tokenizer unavailable; using byte fallback")
         tokenizer = ByteTokenizer(cfg.vocab_size)
 
-    lm = JaxLM(params, cfg, tokenizer, batch_size=args.batch_size)
+    lm = JaxLM(params, cfg, tokenizer, batch_size=args.batch_size,
+               kv_quant=args.kv_quant)
     datasets = None
     if args.synthetic_docs:
         from quip_tpu.eval.zeroshot.synthetic_docs import synthetic_datasets

@@ -138,13 +138,19 @@ class JaxLM:
     """The LM interface consumed by the evaluator."""
 
     def __init__(self, params: Dict[str, Any], cfg: ModelConfig, tokenizer,
-                 batch_size: int = 4, max_length: Optional[int] = None):
+                 batch_size: int = 4, max_length: Optional[int] = None,
+                 kv_quant: bool = False):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.max_length = max_length or cfg.max_seq
         self.eot_token_id = tokenizer.eot_token_id
+        # kv_quant: int8 KV caches in the GENERATION engine only —
+        # loglikelihood scoring runs the cache-free dense forward, so
+        # this flag measures exactly the serving-default numerics
+        # (docs/ACCEPT.md §2b quality gate for --kv_quant)
+        self.kv_quant = bool(kv_quant)
         self._fwd_cache: Dict[int, Any] = {}
 
     # -- internals ----------------------------------------------------------
@@ -259,7 +265,7 @@ class JaxLM:
             return cur
         self._gen_engine_cached = Engine(
             self.params, self.cfg, max_batch=4, max_seq=max_seq,
-            paged=True)
+            paged=True, kv_quant=self.kv_quant)
         return self._gen_engine_cached
 
     def greedy_until(self, requests: List[Tuple[str, List[str]]],

@@ -592,6 +592,48 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     return params
 
 
+def init_params_host(cfg: ModelConfig, seed: int = 0) -> Params:
+    """Random init built directly in HOST RAM, one layer leaf at a time.
+
+    init_params generates the whole stacked tree inside one jax program;
+    at 30B+ scale its f32 temporaries exceed host RAM even on the CPU
+    device (a 157 GB allocation OOM'd the round-5 host_offload drill).
+    Here the embeddings/head/single-block STRUCTURE comes from
+    init_params on a 1-layer copy of cfg (CPU device; ~1 GB), and the
+    stacked block leaves are filled per layer with numpy normals cast
+    straight to the model dtype — the peak temporary is one f32 layer
+    slice. Matrix leaves get the same 0.02-scaled normals as
+    init_params; 1-D leaves (norm scales, biases) copy the 1-layer
+    init (ones/zeros). For tests/benchmarks/drills; real weights stream
+    tensor-by-tensor via models/hf_import.py.
+    """
+    from dataclasses import replace as _rep
+
+    import numpy as _np
+
+    cfg1 = _rep(cfg, n_layers=1)
+    with jax.default_device(jax.devices("cpu")[0]):
+        p1 = init_params(jax.random.key(seed), cfg1)
+    p1 = jax.tree.map(_np.asarray, p1)
+    L = cfg.n_layers
+    rng = _np.random.default_rng(seed)
+
+    def grow(x):
+        base = x[0]
+        out = _np.empty((L,) + base.shape, base.dtype)
+        for i in range(L):
+            if base.ndim >= 2:
+                out[i] = (rng.standard_normal(
+                    base.shape, dtype=_np.float32) * 0.02).astype(base.dtype)
+            else:
+                out[i] = base
+        return out
+
+    params = {k: v for k, v in p1.items() if k != "blocks"}
+    params["blocks"] = jax.tree.map(grow, p1["blocks"])
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Linear-layer registry for quantization
 # ---------------------------------------------------------------------------

@@ -45,32 +45,39 @@ if ARGS.smoke:
     jax.config.update("jax_platforms", "cpu")
 
 
-def e2e(eng, n_req=24, plen=64, new=64, overlap=True, **submit_kw):
+def e2e(eng, n_req=24, plen=64, new=64, overlap=True, max_chunk=16,
+        **submit_kw):
     rng = np.random.default_rng(0)
     reqs = [dict(prompt=rng.integers(1, 1000, plen).tolist(),
                  max_new_tokens=new, **submit_kw) for _ in range(n_req)]
     t0 = time.time()
-    done = eng.run(reqs, chunked=True, overlap=overlap)
+    done = eng.run(reqs, chunked=True, overlap=overlap,
+                   max_chunk=max_chunk)
     dt = time.time() - t0
     toks = sum(len(r.generated) for r in done)
     return toks / dt, dt
 
 
-def ab_engine(tag, mk_engine, n_req, plen=None, new=None):
+def ab_engine(tag, mk_engine, n_req, plen=None, new=None,
+              max_chunk=16):
+    """Serial vs pump on fresh warmed engines (cache state is
+    per-engine); the timed pass repeats the warm pass's exact mix."""
     plen = plen if plen is not None else (64 if not ARGS.smoke else 8)
     new = new if new is not None else (64 if not ARGS.smoke else 12)
-    """Warm once, then serial/pump/serial on the SAME engine (A/B/A-ish:
-    the pump leg sits between two serial legs of a fresh engine each —
-    cache state is per-engine, so fresh engines per leg, warmed)."""
     rows = {}
     for mode, overlap in (("serial", False), ("pump", True)):
         try:
             eng = mk_engine()
-            e2e(eng, n_req=min(8, n_req), plen=plen, new=new,
-                overlap=overlap)                        # warm compiles
-            t0 = time.time()
+            # warm with the FULL request mix once: the 24-request run
+            # walks chunk lengths / re-admission schedules an 8-request
+            # warm batch never compiles (observed: first pump pass had
+            # 0.3-7 s/chunk dispatch = compiles in the timed window)
+            e2e(eng, n_req=n_req, plen=plen, new=new, overlap=overlap,
+                max_chunk=max_chunk)
+            eng._t_pump = {k: (0 if isinstance(v, int) else 0.0)
+                           for k, v in eng._t_pump.items()}
             tps, dt = e2e(eng, n_req=n_req, plen=plen, new=new,
-                          overlap=overlap)
+                          overlap=overlap, max_chunk=max_chunk)
             rows[mode] = tps
             st = eng.stats()
             extra = ""
@@ -113,6 +120,14 @@ def section_e2e(packed, cfg):
     ab_engine("spec self4 K4 b1 ", lambda: Engine(
         packed, cfg, max_batch=1, draft=(dparams, dcfg), spec_k=4,
         **common), 6 if not ARGS.smoke else 2)
+    # spec chunk-size ladder: S = max_chunk//K iterations per dispatch;
+    # bigger chunks amortize the ~40 ms commit read over more tokens
+    # (needs hot >= S*K + 2K of ring headroom)
+    for mc, hot2 in ((32, 64), (64, 160)):
+        ab_engine(f"spec self4 K4 b1 mc{mc}", lambda hot2=hot2: Engine(
+            packed, cfg, max_batch=1, draft=(dparams, dcfg), spec_k=4,
+            **{**common, "hot": hot2}), 6 if not ARGS.smoke else 2,
+            max_chunk=mc)
     # perfect draft: the acceptance upper bound (draft == target)
     ab_engine("spec perfect K4 b8", lambda: Engine(
         packed, cfg, max_batch=B, draft=(packed, cfg), spec_k=4,

@@ -77,9 +77,7 @@ def main():
 
     # --- host-resident random init (the 70B-path contract) ---------------
     t0 = time.time()
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = M.init_params(jax.random.key(0), cfg)
-    params = jax.tree.map(np.asarray, params)
+    params = M.init_params_host(cfg, seed=0)
     gb = sum(x.nbytes for x in jax.tree.leaves(params)) / 2**30
     print(f"[1] host init: {gb:.1f} GB in {time.time()-t0:.0f}s",
           flush=True)

@@ -19,6 +19,26 @@ def test_forward_shapes_and_finiteness(name):
 
 
 @pytest.mark.parametrize("name", ["opt-tiny", "llama-tiny", "bloom-tiny"])
+def test_init_params_host_matches_structure(name):
+    """The streamed host init (30B+ host_offload path) must produce the
+    SAME tree structure/shapes/dtypes as init_params, in numpy leaves,
+    and a working forward."""
+    cfg = get_config(name)
+    ref = M.init_params(jax.random.key(0), cfg)
+    host = M.init_params_host(cfg, seed=0)
+    rleaves = jax.tree.leaves(ref)
+    hleaves = jax.tree.leaves(host)
+    assert (jax.tree.structure(ref) == jax.tree.structure(host))
+    for r, h in zip(rleaves, hleaves):
+        assert isinstance(h, np.ndarray)
+        assert r.shape == h.shape and r.dtype == h.dtype, (r.shape, h.shape)
+    tokens = jax.random.randint(jax.random.key(1), (1, 8), 0,
+                                cfg.vocab_size)
+    logits = M.forward(jax.tree.map(jnp.asarray, host), tokens, cfg)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize("name", ["opt-tiny", "llama-tiny", "bloom-tiny"])
 def test_causality(name):
     """Changing a future token must not affect earlier logits."""
     cfg = get_config(name)

@@ -240,6 +240,18 @@ def test_greedy_until(tiny_lm):
     assert len(outs) == 1 and isinstance(outs[0], str)
 
 
+def test_greedy_until_kv_quant():
+    """kv_quant=True routes int8 caches into the generation engine
+    (the --kv_quant quality-gate path, docs/ACCEPT.md §2b)."""
+    cfg = get_config("opt-tiny")
+    params = M.init_params(jax.random.key(0), cfg)
+    lm = JaxLM(params, cfg, ByteTokenizer(cfg.vocab_size), batch_size=4,
+               max_length=128, kv_quant=True)
+    outs = lm.greedy_until([("ab", ["\n"])], max_gen_toks=4)
+    assert len(outs) == 1 and isinstance(outs[0], str)
+    assert lm._gen_engine_cached.pkv.quantized
+
+
 def test_greedy_until_shared_engine(tiny_lm):
     """Batched requests run through ONE cached engine (VERDICT r2 weak #6)
     and match per-request generation (greedy is batch-invariant)."""
