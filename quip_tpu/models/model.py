@@ -592,7 +592,8 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     return params
 
 
-def init_params_host(cfg: ModelConfig, seed: int = 0) -> Params:
+def init_params_host(cfg: ModelConfig, seed: int = 0,
+                     fast_layers: bool = True) -> Params:
     """Random init built directly in HOST RAM, one layer leaf at a time.
 
     init_params generates the whole stacked tree inside one jax program;
@@ -606,6 +607,14 @@ def init_params_host(cfg: ModelConfig, seed: int = 0) -> Params:
     init_params; 1-D leaves (norm scales, biases) copy the 1-layer
     init (ones/zeros). For tests/benchmarks/drills; real weights stream
     tensor-by-tensor via models/hf_import.py.
+
+    fast_layers=True (default) draws each matrix leaf's noise ONCE and
+    derives per-layer variants by a one-element roll — the f32→bf16
+    conversion dominates the cost (the independent-layer init measured
+    21 min for opt-30b on this 2-core host; rolled, ~2 min). Marginals
+    are identical; cross-layer correlation is irrelevant for the
+    shape/perf drills this init exists for. Pass fast_layers=False for
+    independent layers.
     """
     from dataclasses import replace as _rep
 
@@ -621,12 +630,22 @@ def init_params_host(cfg: ModelConfig, seed: int = 0) -> Params:
     def grow(x):
         base = x[0]
         out = _np.empty((L,) + base.shape, base.dtype)
+        if base.ndim < 2:
+            out[:] = base
+            return out
+        if fast_layers:
+            flat = (rng.standard_normal(
+                base.shape, dtype=_np.float32) * 0.02
+            ).astype(base.dtype).ravel()
+            n = flat.size
+            for i in range(L):
+                dst = out[i].ravel()
+                dst[:i] = flat[n - i:]
+                dst[i:] = flat[:n - i]
+            return out
         for i in range(L):
-            if base.ndim >= 2:
-                out[i] = (rng.standard_normal(
-                    base.shape, dtype=_np.float32) * 0.02).astype(base.dtype)
-            else:
-                out[i] = base
+            out[i] = (rng.standard_normal(
+                base.shape, dtype=_np.float32) * 0.02).astype(base.dtype)
         return out
 
     params = {k: v for k, v in p1.items() if k != "blocks"}

@@ -77,13 +77,18 @@ def _make_block_fns(cfg: ModelConfig, seqlen: int, chunk: int):
     """Jitted per-block programs, compiled once and reused for every layer."""
     positions = jnp.broadcast_to(jnp.arange(seqlen), (chunk, seqlen))
     mask = M.causal_mask(chunk, seqlen)
+    # the calibration mask is exactly causal-with-full-length, so pass
+    # plen and let long sequences take the flash prefill kernel: the
+    # dense path materializes (chunk, H, S, S) f32 logits — 7.5 GB at
+    # opt-30b chunk=8 S=2048, which OOM'd the r5 host_offload drill
+    plen = jnp.full((chunk,), seqlen, jnp.int32)
 
     @jax.jit
     def accumulate(layer_params, inps, H_init):
         """Run the block over a chunk of samples; return outputs and
         accumulated (unnormalized) Hessians per tap: H += Σ xᵀx."""
         y, _, taps = M.block_apply(layer_params, inps, cfg, positions, mask,
-                                   with_taps=True)
+                                   with_taps=True, plen=plen)
         H_new = {}
         for name, x in taps.items():
             xt = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
@@ -95,7 +100,8 @@ def _make_block_fns(cfg: ModelConfig, seqlen: int, chunk: int):
 
     @jax.jit
     def replay(layer_params, inps):
-        y, _, _ = M.block_apply(layer_params, inps, cfg, positions, mask)
+        y, _, _ = M.block_apply(layer_params, inps, cfg, positions, mask,
+                                plen=plen)
         return y
 
     return accumulate, replay
@@ -212,7 +218,8 @@ def quantize_model(
         probe_y, _, probe_taps = M.block_apply(
             layer_params, inps[:chunk], cfg,
             jnp.broadcast_to(jnp.arange(S), (chunk, S)),
-            M.causal_mask(chunk, S), with_taps=True)
+            M.causal_mask(chunk, S), with_taps=True,
+            plen=jnp.full((chunk,), S, jnp.int32))
         for name, x in probe_taps.items():
             d_taps[name] = x.shape[-1]
         H = {name: jnp.zeros((d, d), jnp.float32)
@@ -415,7 +422,8 @@ def save_hessians(
         _, _, probe_taps = M.block_apply(
             layer_params, inps[:chunk], cfg,
             jnp.broadcast_to(jnp.arange(S), (chunk, S)),
-            M.causal_mask(chunk, S), with_taps=True)
+            M.causal_mask(chunk, S), with_taps=True,
+            plen=jnp.full((chunk,), S, jnp.int32))
         H = {name: jnp.zeros((x.shape[-1], x.shape[-1]), jnp.float32)
              for name, x in probe_taps.items()}
         for i in range(0, N, chunk):

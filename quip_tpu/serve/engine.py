@@ -1477,25 +1477,34 @@ class Engine:
                 r = self._slots[i]
                 if r is not None and r.uid == uid:
                     inflight[i] = inflight.get(i, 0) + pend["T"]
+        # seq cap is HARD (cursors must never overflow the arena); the
+        # token BUDGET is soft — overshooting a nearly-done slot's budget
+        # just produces dead rows that truncate+retire at commit (the
+        # standing mispredict contract). Sizing T by the budget MINIMUM
+        # forced a serial fallback whenever ANY slot neared its budget —
+        # measured as 13-19 blocking serial steps per arrival trace and
+        # the 4 req/s p95 tail (r5 session 2). Now: T covers the LARGEST
+        # outstanding need, capped by the hard seq room.
         remaining = self.max_seq
+        needed = 0
         for i in active:
             req = self._slots[i]
             # async-admitted first tokens are generated but not yet
             # materialized on the host — they still count against budget
             infl = inflight.get(i, 0) + self._pending_first_count(i)
             committed = len(req.prompt) + len(req.generated) - 1
-            remaining = min(
-                remaining,
-                req.max_new_tokens + 1 - len(req.generated) - infl,
-                self.max_seq - 1 - committed - infl)
-        if remaining < 2:
+            remaining = min(remaining,
+                            self.max_seq - 1 - committed - infl)
+            needed = max(needed, req.max_new_tokens + 1
+                         - len(req.generated) - infl)
+        if remaining < 2 or needed < 1:
             return None
         room = self.hot - int(self._hotlen.max())
         if room < 2:
             self._flush_now()
             room = self.hot
         T = 2
-        while T * 2 <= min(remaining, room, max_chunk):
+        while T * 2 <= min(remaining, max(needed, 2), room, max_chunk):
             T *= 2
 
         # input frontier: device-resident last tokens of the previous
@@ -1680,15 +1689,19 @@ class Engine:
                 r = self._slots[i]
                 if r is not None and r.uid == uid:
                     inflight[i] = inflight.get(i, 0) + pend["S"] * K
-        rem_budget = rem_seq = self.max_seq
+        # seq cap HARD / budget SOFT, sized to the largest outstanding
+        # need (same rationale as _try_dispatch: min-based budget sizing
+        # forced serial fallbacks whenever one slot neared its budget)
+        rem_seq = self.max_seq
+        needed = 0
         for i in active:
             req = self._slots[i]
             infl = inflight.get(i, 0)
             committed = len(req.prompt) + len(req.generated) - 1
-            rem_budget = min(rem_budget, req.max_new_tokens + 1
-                             - len(req.generated) - infl)
+            needed = max(needed, req.max_new_tokens + 1
+                         - len(req.generated) - infl)
             rem_seq = min(rem_seq, self.max_seq - 1 - committed - infl)
-        if rem_budget < 1 or rem_seq < K:
+        if needed < 1 or rem_seq < K:
             return None
         room = self.hot - int(self._ub_hot.max())
         if room < 2 * K:
@@ -1698,11 +1711,8 @@ class Engine:
             self._ub_hot[:] = 0
             self._flush_epoch += 1
             room = self.hot
-        # budget may overshoot (ceil — truncation retires at commit);
-        # the seq cap is HARD (device cursors must never overflow the
-        # ring/arena), hence floor
         s_cap = min(room // K, max(1, max_chunk // K),
-                    max(1, -(-rem_budget // K)), rem_seq // K)
+                    max(1, -(-needed // K)), rem_seq // K)
         S = 1
         while S * 2 <= s_cap:
             S *= 2
@@ -1853,6 +1863,13 @@ class Engine:
             self._last_dev_spec = None
         return True
 
+    def _default_max_chunk(self) -> int:
+        """Per-engine chunk cap: 16 tokens for plain engines; for spec,
+        S = min(8, hot//(2K)) iterations (see pump docstring)."""
+        if not self.spec:
+            return 16
+        return self.spec_k * max(2, min(8, self.hot // (2 * self.spec_k)))
+
     def _retire_plausible(self) -> bool:
         """Could a slot free at the next commit? True when some slot's
         budget or seq cap is covered by its in-flight tokens. Stop-token
@@ -1877,7 +1894,7 @@ class Engine:
                 return True
         return False
 
-    def pump(self, max_chunk: int = 16) -> bool:
+    def pump(self, max_chunk: Optional[int] = None) -> bool:
         """One overlapped scheduling iteration (see class comment above).
 
         Admits (subject to admit_limit), dispatches the next chunk, and
@@ -1888,7 +1905,16 @@ class Engine:
         overlap, device-authoritative cursors; arena (non-paged) engines
         fall back to one classic step_chunk per pump. Incremental
         drivers (arrival processes, streaming servers) call this
-        directly; run(chunked=True) just loops it."""
+        directly; run(chunked=True) just loops it.
+
+        max_chunk defaults to 16 for plain engines. For spec the
+        worst-case-token cap translates to S = max_chunk//K draft+verify
+        iterations; the r5 chunk ladder measured S=8 the b1 sweet spot
+        (+13% over S=4, hot=64) with S=16 slightly negative. The default
+        asks for min(8, hot//(2K)) iterations so the flush cadence stays
+        at most every other chunk (S=8 needs hot >= 64)."""
+        if max_chunk is None:
+            max_chunk = self._default_max_chunk()
         if not self.paged:
             if any(s is not None for s in self._slots) or self._queue:
                 self.step_chunk(max_chunk)
@@ -1968,7 +1994,7 @@ class Engine:
 
     def run(self, requests: List[Dict], progress=False,
             chunked: bool = False, overlap: bool = True,
-            max_chunk: int = 16) -> List[Request]:
+            max_chunk: Optional[int] = None) -> List[Request]:
         """Submit all, drive steps until done, return completed requests.
 
         chunked=True decodes up to `max_chunk` tokens per dispatch; with
@@ -1985,6 +2011,8 @@ class Engine:
         uids = [self.submit(**r) for r in requests]
         # keep handles: requests leave the slot table when retired
         all_reqs = {r.uid: r for r in self._queue}
+        if max_chunk is None:
+            max_chunk = self._default_max_chunk()
         if chunked and overlap:
             while self.pump(max_chunk):
                 pass
