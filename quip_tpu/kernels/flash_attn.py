@@ -38,6 +38,7 @@ _NEG = -1e30    # python float: a jnp scalar here would be captured as a
 
 def _kernel(scale, ts, tk, causal_skip,
             plen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+    bi = pl.program_id(0)
     si = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -62,7 +63,7 @@ def _kernel(scale, ts, tk, causal_skip,
 
         qi = si * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, tk), 0)
         kj = ki * tk + jax.lax.broadcasted_iota(jnp.int32, (ts, tk), 1)
-        valid = (kj <= qi) & (kj < plen_ref[0])
+        valid = (kj <= qi) & (kj < plen_ref[bi])
         s = jnp.where(valid, s, _NEG)
 
         m_prev = m_scr[:]                                  # (TS, 1)
@@ -104,7 +105,11 @@ def flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
         functools.partial(_kernel, float(scale), ts, tk, True),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b, h, i, j: (b,),
+            # full (B,) vector to every program, indexed by program_id:
+            # a per-program (1,) block only lowers when B == 1 (Mosaic
+            # requires rank-1 blocks to cover the array or tile by 128),
+            # which hid until B>1 flash prefill ran on-chip (r5 drill)
+            pl.BlockSpec((B,), lambda b, h, i, j: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ts, hd), lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),

@@ -1683,24 +1683,34 @@ class Engine:
         if not self._spec_stale:
             # entering device-authoritative mode: host values are exact
             self._ub_hot[:] = self._hotlen
-        inflight = {}
+        infl_iters = {}
         for pend in self._pending_q:
             for i, uid in zip(pend["slots"], pend["uids"]):
                 r = self._slots[i]
                 if r is not None and r.uid == uid:
-                    inflight[i] = inflight.get(i, 0) + pend["S"] * K
-        # seq cap HARD / budget SOFT, sized to the largest outstanding
-        # need (same rationale as _try_dispatch: min-based budget sizing
-        # forced serial fallbacks whenever one slot neared its budget)
+                    infl_iters[i] = infl_iters.get(i, 0) + pend["S"]
+        # seq cap HARD (worst case: every in-flight iteration emits K
+        # rows) / budget SOFT, sized to the largest outstanding need.
+        # Budget in-flight uses the EXPECTED emitted count (running
+        # acceptance mean): the worst-case bound overestimated in-flight
+        # tokens Kx at chance acceptance, so `needed` collapsed and the
+        # b1 pipeline drained+serial-stepped every ~K chunks (35 serial
+        # steps/run, r5 session 3). Overshoot stays safe (dead rows
+        # truncate+retire at commit); at high acceptance est -> K and
+        # this reduces to the worst case.
+        est = float(K)
+        if self.accept_hist:
+            est = max(1.0, float(np.mean(self.accept_hist[-64:])))
         rem_seq = self.max_seq
         needed = 0
         for i in active:
             req = self._slots[i]
-            infl = inflight.get(i, 0)
+            it = infl_iters.get(i, 0)
             committed = len(req.prompt) + len(req.generated) - 1
             needed = max(needed, req.max_new_tokens + 1
-                         - len(req.generated) - infl)
-            rem_seq = min(rem_seq, self.max_seq - 1 - committed - infl)
+                         - len(req.generated) - int(it * est))
+            rem_seq = min(rem_seq,
+                          self.max_seq - 1 - committed - it * K)
         if needed < 1 or rem_seq < K:
             return None
         room = self.hot - int(self._ub_hot.max())
@@ -1939,20 +1949,21 @@ class Engine:
             return bool(self._queue)
         # adaptive admission latency (VERDICT r4 weak #2: unconditional
         # async deferral cost ~one chunk of TTFT at low arrival rates):
-        # with slack — no queued backlog AND (cold pipeline or few active
-        # slots) — resolve fresh first tokens EAGERLY right after the
-        # dispatch goes out, instead of waiting for the next commit. At
-        # saturation (queue waiting or a busy full batch) admission stays
-        # fully async and capture is unaffected.
-        eager = (bool(self._first_pending) and not self._queue
-                 and (not self._pending_q
-                      or 2 * len(active) <= self.max_batch))
-        nxt = (self._try_dispatch(active, max_chunk, pack_first=not eager)
-               if active else None)
+        # when the pipeline is SHORT (<= 1 chunk in flight), resolve
+        # fresh first tokens EAGERLY — before dispatching, so the
+        # blocking read queues behind at most one (usually nearly-done)
+        # chunk under the relay's in-order read service. Resolving after
+        # the dispatch measured ~2x worse p50 (the read waited out the
+        # freshly enqueued full chunk — r5 session 3). At saturation
+        # (pipeline at depth) admission stays fully async and the firsts
+        # ride the next packed commit read; capture is unaffected.
+        if self._first_pending and len(self._pending_q) <= 1:
+            self._resolve_first_tokens()
+            active = [i for i, r in enumerate(self._slots)
+                      if r is not None]     # a stop-at-first may retire
+        nxt = (self._try_dispatch(active, max_chunk) if active else None)
         if nxt is not None:
             self._pending_q.append(nxt)
-        if eager and self._first_pending:
-            self._resolve_first_tokens()
         if self._pending_q and (nxt is None
                                 or len(self._pending_q)
                                 > self.pipeline_depth):

@@ -36,11 +36,14 @@ class EngineLoop:
     """Owns the Engine on a single worker thread; thread-safe submit."""
 
     def __init__(self, engine: Engine, tokenizer=None, chunked: bool = True,
-                 overlap: bool = True):
+                 overlap: bool = True, max_chunk=None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.chunked = chunked
         self.overlap = overlap
+        # None = the engine's per-mode default (16 plain / S=min(8,
+        # hot//2K) spec iterations — Engine._default_max_chunk)
+        self.max_chunk = max_chunk
         self._inbox: "queue.Queue" = queue.Queue()
         self._events: dict = {}           # uid -> (Event, Request)
         self._lock = threading.Lock()
@@ -110,9 +113,11 @@ class EngineLoop:
                     if self.chunked and self.overlap:
                         # overlapped double-buffered scheduling: the host
                         # read of chunk N runs while chunk N+1 executes
-                        self.engine.pump()
+                        self.engine.pump(self.max_chunk)
                     elif self.chunked:
-                        self.engine.step_chunk()
+                        self.engine.step_chunk(
+                            self.max_chunk
+                            or self.engine._default_max_chunk())
                     else:
                         self.engine.step()
                 done = []
@@ -236,13 +241,13 @@ def make_handler(loop: EngineLoop, timeout_s: float = 600.0):
 
 
 def serve_http(engine: Engine, host: str = "127.0.0.1", port: int = 8000,
-               tokenizer=None, chunked: bool = True, overlap: bool = True
-               ) -> tuple:
+               tokenizer=None, chunked: bool = True, overlap: bool = True,
+               max_chunk=None) -> tuple:
     """Start the engine loop + HTTP server. Returns (httpd, loop); call
     httpd.shutdown() and loop.shutdown() to stop. Blocking callers can
     invoke httpd.serve_forever() themselves via the returned object."""
     loop = EngineLoop(engine, tokenizer=tokenizer, chunked=chunked,
-                      overlap=overlap)
+                      overlap=overlap, max_chunk=max_chunk)
     loop.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(loop))
     return httpd, loop
