@@ -369,6 +369,14 @@ class Engine:
         # its chunk finished); raise for throughput, lower to 1 to cut
         # token-visibility latency by one chunk (~125 ms at b8/T=16)
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # chunk length under SLACK (arrival-bound: no queued backlog,
+        # <= half the slots busy). Every relay read is served in order
+        # behind all enqueued device work, so first-token latency is
+        # bounded by the pipeline's token-depth in milliseconds; short
+        # chunks keep that bound at ~2x26 ms where throughput isn't the
+        # binding constraint (pump(), r5 session 4). Must stay a power
+        # of two from the warmed chunk ladder (16/8/4/2).
+        self.slack_chunk = 4
         self._last_dev: Optional[jax.Array] = None
         self._host_token_slots: set = set()
         self._cursors_dirty = True
@@ -915,6 +923,16 @@ class Engine:
         if use_prefix and self.prefix is None:
             raise ValueError("use_prefix requires an engine built with "
                              "shared_prefix=...")
+        # clamp to the achievable sequence room: a budget the hard seq
+        # cap can never honor would otherwise ride the slot into a
+        # permanent `remaining < 2` dispatch refusal at the cap — the
+        # whole batch then drains through the serial per-token fallback
+        # for the slot's entire tail (and, on a cold compile cache, pays
+        # that path's ~30 s remote compile mid-traffic: the r5 session-4
+        # burst probe's 34.6 s token gap). Clamped, the chunk ladder
+        # walks the tail and the slot retires at commit like any other.
+        max_new_tokens = min(int(max_new_tokens),
+                             self.max_seq - 1 - int(prompt.size))
         req = Request(self._uid, prompt, max_new_tokens, temperature,
                       top_k, top_p, list(stop) if stop else None,
                       use_prefix=bool(use_prefix), t_submit=time.time())
@@ -1947,17 +1965,28 @@ class Engine:
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active and not self._pending_q:
             return bool(self._queue)
-        # adaptive admission latency (VERDICT r4 weak #2: unconditional
-        # async deferral cost ~one chunk of TTFT at low arrival rates):
-        # when the pipeline is SHORT (<= 1 chunk in flight), resolve
-        # fresh first tokens EAGERLY — before dispatching, so the
-        # blocking read queues behind at most one (usually nearly-done)
-        # chunk under the relay's in-order read service. Resolving after
-        # the dispatch measured ~2x worse p50 (the read waited out the
-        # freshly enqueued full chunk — r5 session 3). At saturation
-        # (pipeline at depth) admission stays fully async and the firsts
-        # ride the next packed commit read; capture is unaffected.
-        if self._first_pending and len(self._pending_q) <= 1:
+        # Adaptive admission latency (VERDICT r4 weak #2). Every read
+        # through the relay is served IN ORDER — it waits out all device
+        # work enqueued before it — so first-token latency is bounded
+        # below by the token-depth of the pipeline when the resolve read
+        # lands. Gating the eager resolve on a short pipeline alone
+        # (r5 session 4) made it almost never fire at steady state
+        # (pump holds depth chunks by construction: p50 290 ms at 4/s);
+        # the session-2/3 sequence showed the post-dispatch placement
+        # waits out one extra full chunk. The fix attacks the bound
+        # itself: under SLACK — no queued backlog and at most half the
+        # slots busy, i.e. arrival-bound, not throughput-bound — dispatch
+        # SHORT chunks (T<=4, ~26 ms device time each; the T=4 ladder
+        # program is warmed) so the in-order wait ahead of any read is
+        # small, and resolve fresh first tokens eagerly BEFORE the next
+        # dispatch. Short chunks cost throughput only where throughput
+        # isn't binding; once a backlog or a busy batch appears the
+        # chunk returns to max_chunk and admission goes fully async
+        # (firsts ride the packed commit read — capture unaffected).
+        slack = not self._queue and 2 * len(active) <= self.max_batch
+        if slack:
+            max_chunk = min(max_chunk, self.slack_chunk)
+        if self._first_pending and (slack or len(self._pending_q) <= 1):
             self._resolve_first_tokens()
             active = [i for i, r in enumerate(self._slots)
                       if r is not None]     # a stop-at-first may retire
@@ -2001,6 +2030,17 @@ class Engine:
             self.run([dict(prompt=[1], max_new_tokens=n)], chunked=chunked)
             self.run([dict(prompt=[1], max_new_tokens=n, temperature=0.5,
                            top_p=0.9)], chunked=chunked)
+        if chunked:
+            # the serial PER-TOKEN path must be warm too: pump() falls
+            # back to step() at non-pipelinable boundaries (mixed top_k,
+            # true seq-cap tails). Before the r5 soft-budget sizing the
+            # 17-token ladder run ended on that path as a side effect;
+            # now the ladder walks the tail cleanly, so without this the
+            # fallback's first production firing pays a cold ~30 s
+            # remote compile mid-traffic (r5 session-4 burst probe).
+            self.run([dict(prompt=[1], max_new_tokens=3)], chunked=False)
+            self.run([dict(prompt=[1], max_new_tokens=3, temperature=0.5,
+                           top_p=0.9)], chunked=False)
         return self
 
     def run(self, requests: List[Dict], progress=False,
