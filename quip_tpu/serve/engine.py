@@ -1983,9 +1983,19 @@ class Engine:
         # isn't binding; once a backlog or a busy batch appears the
         # chunk returns to max_chunk and admission goes fully async
         # (firsts ride the packed commit read — capture unaffected).
+        # Graduated: T=slack_chunk only at <= 1/4 occupancy; 2x at
+        # <= 1/2. A single threshold at half occupancy put the 4 req/s
+        # operating point (4-5 of 8 slots) right on the boundary with
+        # T=4 capacity BELOW the offered load — the queue built, slack
+        # flipped off, drained, flipped on: TTFT oscillation (p50 2.5 s,
+        # r5 session 4b). The graduated ladder keeps short-chunk service
+        # capacity above the load that keeps occupancy that low.
         slack = not self._queue and 2 * len(active) <= self.max_batch
         if slack:
-            max_chunk = min(max_chunk, self.slack_chunk)
+            deep = 4 * len(active) <= self.max_batch
+            max_chunk = min(max_chunk,
+                            self.slack_chunk if deep
+                            else 2 * self.slack_chunk)
         if self._first_pending and (slack or len(self._pending_q) <= 1):
             self._resolve_first_tokens()
             active = [i for i, r in enumerate(self._slots)
@@ -2026,10 +2036,28 @@ class Engine:
         17-token one ends on the per-step path (remaining < 2 fallback).
         Greedy and sampled batches compile DISTINCT chunk traces
         (temps=None is a static fast path), so both are run."""
-        for n in (30, 17):
-            self.run([dict(prompt=[1], max_new_tokens=n)], chunked=chunked)
-            self.run([dict(prompt=[1], max_new_tokens=n, temperature=0.5,
-                           top_p=0.9)], chunked=chunked)
+        # pin slack shortening OFF for the ladder walk: a single dummy
+        # request sits at deep slack, which would cap every chunk at
+        # slack_chunk and leave the T=16/T=8 programs UNCOMPILED — the
+        # first saturated batch then pays a ~33 s remote compile
+        # mid-traffic (r5 session-4 burst probe, jax_log_compiles).
+        slack_sv, self.slack_chunk = self.slack_chunk, 1 << 30
+        try:
+            for n in (30, 17):
+                self.run([dict(prompt=[1], max_new_tokens=n)],
+                         chunked=chunked)
+                self.run([dict(prompt=[1], max_new_tokens=n,
+                               temperature=0.5, top_p=0.9)],
+                         chunked=chunked)
+            # the slack ladder rungs (slack_chunk, 2*slack_chunk) are
+            # inside the 16/8/4/2 walk above for the default 4; re-walk
+            # explicitly if a caller re-tuned slack_chunk off-ladder
+            extra = {slack_sv, 2 * slack_sv} - {2, 4, 8, 16}
+            for t in sorted(extra):
+                self.run([dict(prompt=[1], max_new_tokens=2 * t - 2)],
+                         chunked=chunked, max_chunk=t)
+        finally:
+            self.slack_chunk = slack_sv
         if chunked:
             # the serial PER-TOKEN path must be warm too: pump() falls
             # back to step() at non-pipelinable boundaries (mixed top_k,

@@ -159,3 +159,43 @@ def test_overlap_seq_cap_retirement(tiny_model):
                                 eng_kw=dict(max_batch=1, max_seq=40))
     assert serial[0].generated == overlap[0].generated
     assert len(overlap[0].generated) < 60
+
+
+def test_overbudget_request_clamps_and_avoids_serial_tail(tiny_model):
+    """A max_new_tokens the hard seq cap can never honor is clamped at
+    submit (r5: an unclamped budget rode the slot into a permanent
+    remaining<2 dispatch refusal, draining the whole batch through the
+    serial per-token fallback for the tail — a ~30 s cold-compile stall
+    on chip, bench_serve burst probe). Clamped, the request finishes at
+    exactly the seq cap, tokens identical to the serial loop, and the
+    pump stays on the chunked path for all but at most the final step."""
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=2, max_seq=40, paged=True,
+                 hot=8, page=8)
+    uid = eng.submit(prompt=[1, 2, 3], max_new_tokens=500)
+    req = next(r for r in eng._queue if r.uid == uid)
+    assert req.max_new_tokens == 40 - 1 - 3
+    while eng.pump():
+        pass
+    assert req.done and len(req.generated) == req.max_new_tokens + 1
+    assert eng._t_pump["steps"] <= 1          # chunk ladder walks the tail
+    # equality with the serial loop on a mixed batch incl. the clamped req
+    reqs = [dict(prompt=[1, 2, 3], max_new_tokens=500),
+            dict(prompt=[4, 5], max_new_tokens=9)]
+    serial, overlap = _run_both(cfg, params, reqs,
+                                eng_kw=dict(max_seq=40))
+    for s, o in zip(serial, overlap):
+        assert s.generated == o.generated
+
+
+def test_warmup_covers_serial_fallback(tiny_model):
+    """warmup() must compile the per-token fallback path: pump() falls
+    back to step() at non-pipelinable boundaries, and an unwarmed
+    fallback costs a cold remote compile mid-traffic (r5 session 4)."""
+    cfg, params = tiny_model
+    eng = Engine(params, cfg, max_batch=2, max_seq=64, paged=True,
+                 hot=8, page=8)
+    eng.warmup()
+    # the per-token program trace exists iff run(chunked=False) ran
+    st = eng.stats()
+    assert st["completed"] == 6               # 4 ladder + 2 per-token
