@@ -2069,6 +2069,24 @@ class Engine:
             self.run([dict(prompt=[1], max_new_tokens=3)], chunked=False)
             self.run([dict(prompt=[1], max_new_tokens=3, temperature=0.5,
                            top_p=0.9)], chunked=False)
+            # tiny host-path helpers have chunk-length-shaped variants the
+            # ladder walk does NOT reach: _pack_first_j only fires when
+            # first tokens are pending AT dispatch (an arrival/burst
+            # pattern a solo warmup request never produces), so its
+            # (B, T+1) concat for a full chunk first compiled mid-burst —
+            # observed as the one ~8.8 s token gap per process in the r5
+            # burst probes (jax_log_compiles: a trivial two-arg program
+            # whose persistent-cache HIT was served in 8.78 s by the
+            # remote compile helper). Warm every reachable rung directly;
+            # each call is a sub-ms concat once compiled.
+            fb = self._first_buf
+            for t in sorted({2, 4, 8, 16, self.slack_chunk,
+                             2 * self.slack_chunk}):
+                self._pack_first_j(
+                    jnp.zeros((self.max_batch, t), jnp.int32), fb)
+            self._admit_tok_j(fb, self._front_mask,
+                              jnp.zeros((1,), jnp.int32),
+                              jnp.asarray(0, jnp.int32))
         return self
 
     def run(self, requests: List[Dict], progress=False,

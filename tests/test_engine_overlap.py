@@ -199,3 +199,9 @@ def test_warmup_covers_serial_fallback(tiny_model):
     # the per-token program trace exists iff run(chunked=False) ran
     st = eng.stats()
     assert st["completed"] == 6               # 4 ladder + 2 per-token
+    # the commit-read coalescing packer must be warm at EVERY chunk rung:
+    # it only fires when firsts are pending at dispatch (burst pattern),
+    # so the ladder walk alone never compiles it — its first mid-traffic
+    # firing cost an 8.8 s remote-helper round trip (r5 burst probe)
+    assert eng._pack_first_j._cache_size() >= 4   # T = 2, 4, 8, 16
+    assert eng._admit_tok_j._cache_size() >= 1
